@@ -1,0 +1,77 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
+
+Each query is forced end-to-end with a noop write (full computation, no
+collect-to-driver cost). Extra context keys (docs_per_s, parallelism) ride
+along for BENCH history; the driver contract keys come first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from olaf_spark import entry_queries  # noqa: E402
+from olaf_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "tokenize_tf",
+    "term_stats",
+    "bm25_topk",
+    "match_tally",
+    "top_terms_per_lang",
+    "dedup_exact",
+    "events_hourly",
+    "lineitem_agg",
+    "orders_by_nation",
+    "embedding_cosine_topk",
+]
+
+
+def force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = get_spark(cpus, app_name="olaf_spark_bench", shuffle_partitions=cpus)
+    # warm up the JVM + parquet footers so per-query times measure the plans
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = entry_queries.QUERIES[name]
+        t0 = time.perf_counter()
+        force(fn(spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    spark.stop()
+
+    total = round(sum(times.values()), 3)
+    index_time = times["tokenize_tf"] + times["term_stats"]
+    out = {
+        "metric": "olaf_spark headline query wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "n_docs": n_docs,
+        "index_docs_per_s": round(n_docs / index_time, 1) if index_time > 0 else None,
+        "parallelism": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

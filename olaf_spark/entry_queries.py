@@ -1,0 +1,453 @@
+"""Driver-facing query catalog: Spark implementations + DuckDB oracle SQL.
+
+Every entry here is one operator/capability from SURVEY.md §2 (or the
+training-data-pipeline extension set), expressed twice with identical
+output columns:
+
+  * a Spark callable (spark, sf_dir) -> DataFrame   — the engine under test
+  * an ANSI-SQL string for DuckDB                   — the independent oracle
+
+Cross-engine parity rules (learned the hard way, keep following them):
+  - alias every computed column identically on both sides;
+  - round floats to a fixed precision and cast to DOUBLE on both sides
+    (DuckDB round() returns DECIMAL; distributed float sums are
+    order-nondeterministic — rounding absorbs both);
+  - only use functions with identical semantics (md5, ln, date_trunc,
+    regexp_split on simple classes); never engine-specific hashes
+    (xxhash64 differs between Spark and DuckDB);
+  - cast counts/sizes to BIGINT on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from olaf_spark.config import TOKEN_SPLIT_RE, EngineConfig
+from olaf_spark.scorer import bm25_topk_adhoc
+from olaf_spark.tokenize import doc_lengths_df, term_freqs_df, tokens_df
+
+CFG = EngineConfig()
+
+FLAGSHIP_QUERY = "spark join window"
+K = 10
+
+# Shared DuckDB CTE: tokenized documents -> (doc_id, term); twin of tokens_df.
+SQL_TOK = f"""
+tok AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}')) AS term
+    FROM documents
+  ) WHERE term <> ''
+)
+"""
+
+SQL_TF = SQL_TOK + """
+, tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# --------------------------------------------------------------------------
+# §2.1 sources/scans + §2.2 filters/projections
+# --------------------------------------------------------------------------
+
+
+def q_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + predicate + projection; filters push to the parquet reader."""
+    return (
+        _docs(spark, sf_dir)
+        .where((F.col("lang") == "en") & (F.col("n_chars") > 300))
+        .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+    )
+
+
+SQL_SCAN_FILTER = """
+SELECT doc_id, lang, n_chars::BIGINT AS n_chars
+FROM documents WHERE lang = 'en' AND n_chars > 300
+"""
+
+
+# --------------------------------------------------------------------------
+# tokenizer -> posting emission (SURVEY §2.1 extraction, §3.1 step 5)
+# --------------------------------------------------------------------------
+
+
+def q_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return term_freqs_df(_docs(spark, sf_dir)).select(
+        "doc_id", "term", F.col("tf").cast("long").alias("tf")
+    )
+
+
+SQL_TOKENIZE_TF = "WITH " + SQL_TF + "SELECT doc_id, term, tf FROM tf"
+
+
+def q_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_lengths_df(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("doc_len").cast("long").alias("doc_len")
+    )
+
+
+SQL_DOC_LENGTHS = f"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                       t -> t <> ''))::BIGINT AS doc_len
+FROM documents
+"""
+
+
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df + total tf per term — the BM25 IDF input (SURVEY §2.4)."""
+    tf = term_freqs_df(_docs(spark, sf_dir))
+    return tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    )
+
+
+SQL_TERM_STATS = (
+    "WITH " + SQL_TF
+    + "SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS total_tf FROM tf GROUP BY term"
+)
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dl = doc_lengths_df(_docs(spark, sf_dir))
+    return dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("doc_len"), 6).cast("double").alias("avgdl"),
+    )
+
+
+SQL_CORPUS_STATS = f"""
+WITH dl AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                         t -> t <> '')) AS doc_len
+  FROM documents
+)
+SELECT count(*)::BIGINT AS n_docs, round(avg(doc_len), 6)::DOUBLE AS avgdl FROM dl
+"""
+
+
+# --------------------------------------------------------------------------
+# flagship: BM25 top-k (SURVEY §3.2)
+# --------------------------------------------------------------------------
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = bm25_topk_adhoc(spark, _docs(spark, sf_dir), FLAGSHIP_QUERY, k=K, cfg=CFG)
+    return out.select(
+        "doc_id",
+        F.round("score", 4).cast("double").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _sql_bm25(query_terms: list[str], k: int) -> str:
+    terms_list = ", ".join(f"'{t}'" for t in sorted(set(query_terms)))
+    return f"""
+WITH {SQL_TF}
+, dl AS (SELECT doc_id, count(*)::BIGINT AS doc_len FROM tok GROUP BY doc_id)
+, stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(doc_len)::DOUBLE AS avgdl FROM dl)
+, dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+, q AS (SELECT unnest([{terms_list}]) AS term)
+, scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf * ({CFG.k1} + 1.0)
+              / (tf.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * dl.doc_len / stats.avgdl))
+         ) AS raw_score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dft USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       round(raw_score, 4)::DOUBLE AS score,
+       row_number() OVER (ORDER BY raw_score DESC, doc_id ASC)::BIGINT AS rank
+FROM scored
+ORDER BY raw_score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+SQL_BM25_TOPK = _sql_bm25(FLAGSHIP_QUERY.split(), K)
+
+
+# --------------------------------------------------------------------------
+# top-k per group (SURVEY §2.5) — most frequent terms per language
+# --------------------------------------------------------------------------
+
+
+def q_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = tokens_df(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    counts = toks.groupBy("lang", "term").agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("lang", "term", "n", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+SQL_TOP_TERMS_PER_LANG = (
+    "WITH " + SQL_TOK
+    + """
+, counts AS (
+  SELECT d.lang, tok.term, count(*)::BIGINT AS n
+  FROM tok JOIN documents d USING (doc_id)
+  GROUP BY d.lang, tok.term
+)
+SELECT lang, term, n, rnk FROM (
+  SELECT lang, term, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, term ASC)::BIGINT AS rnk
+  FROM counts
+) WHERE rnk <= 5
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# match tally — Olaf's accumulator, literally (SURVEY §2.4 row 1):
+# align doc 0's token positions against every doc sharing a term, group by
+# (doc_id, position-diff bucket), count/min/max — `tally_results`
+# olaf_fp_matcher.c:148-186 with the >>2 bucket of :150.
+# --------------------------------------------------------------------------
+
+
+def q_match_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pos = tokens_df(docs, with_pos=True)
+    qpos = pos.where(F.col("doc_id") == 0).select(
+        F.col("term"), F.col("pos").alias("q_pos")
+    )
+    hits = pos.where(F.col("doc_id") != 0).join(F.broadcast(qpos), "term")
+    bucket = F.floor((F.col("pos") - F.col("q_pos")) / 4).cast("long")
+    return (
+        hits.groupBy(F.col("doc_id"), bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("match_count"),
+            F.min("pos").cast("long").alias("first_ref"),
+            F.max("pos").cast("long").alias("last_ref"),
+        )
+        .where(F.col("match_count") >= 6)
+    )
+
+
+SQL_MATCH_TALLY = f"""
+WITH arrs AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}') AS arr
+  FROM documents
+), pos0 AS (
+  SELECT doc_id, unnest(generate_series(1, len(arr))) AS i, arr FROM arrs
+), pos AS (
+  SELECT doc_id, (i - 1)::BIGINT AS pos, arr[i] AS term FROM pos0 WHERE arr[i] <> ''
+), qpos AS (
+  SELECT term, pos AS q_pos FROM pos WHERE doc_id = 0
+)
+SELECT p.doc_id,
+       floor((p.pos - q.q_pos) / 4.0)::BIGINT AS bucket,
+       count(*)::BIGINT AS match_count,
+       min(p.pos)::BIGINT AS first_ref,
+       max(p.pos)::BIGINT AS last_ref
+FROM pos p JOIN qpos q USING (term)
+WHERE p.doc_id <> 0
+GROUP BY p.doc_id, floor((p.pos - q.q_pos) / 4.0)::BIGINT
+HAVING count(*) >= 6
+"""
+
+
+# --------------------------------------------------------------------------
+# training-data ops: exact dedup (md5 groups)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash,
+       count(*)::BIGINT AS n_copies,
+       min(doc_id)::BIGINT AS keep_doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --------------------------------------------------------------------------
+# events: tumbling time window aggregation (SURVEY §2.8 batch form)
+# --------------------------------------------------------------------------
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).cast("double").alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4)::DOUBLE AS sum_value
+FROM events GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# generic relational coverage: TPC-H-style agg + join
+# --------------------------------------------------------------------------
+
+
+def q_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity)::DOUBLE AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)::DOUBLE AS revenue,
+       count(*)::BIGINT AS n_rows
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join chain with a broadcast dim (metadata-resolve analogue §2.3 row 3)."""
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).cast("double").alias("total_price"),
+        )
+    )
+
+
+SQL_ORDERS_BY_NATION = """
+SELECT n_name,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2)::DOUBLE AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# embeddings: brute-force cosine top-k (ANN baseline)
+# --------------------------------------------------------------------------
+
+
+def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    qvec = emb.where(F.col("vec_id") == 0).select(F.col("emb").alias("q"))
+    joined = emb.where(F.col("vec_id") != 0).crossJoin(F.broadcast(qvec))
+    dot = F.aggregate(
+        F.zip_with("emb", "q", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    sim = dot / (norm(F.col("emb")) * norm(F.col("q")))
+    out = joined.select(
+        "vec_id", F.round(sim, 6).cast("double").alias("cosine_sim")
+    )
+    return out.orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc()).limit(K)
+
+
+SQL_EMBEDDING_COSINE_TOPK = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6)::DOUBLE AS cosine_sim
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cosine_sim DESC, vec_id ASC
+LIMIT {K}
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "scan_filter_project": q_scan_filter_project,
+    "tokenize_tf": q_tokenize_tf,
+    "doc_lengths": q_doc_lengths,
+    "term_stats": q_term_stats,
+    "corpus_stats": q_corpus_stats,
+    "bm25_topk": q_bm25_topk,
+    "top_terms_per_lang": q_top_terms_per_lang,
+    "match_tally": q_match_tally,
+    "dedup_exact": q_dedup_exact,
+    "events_hourly": q_events_hourly,
+    "lineitem_agg": q_lineitem_agg,
+    "orders_by_nation": q_orders_by_nation,
+    "embedding_cosine_topk": q_embedding_cosine_topk,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "scan_filter_project": SQL_SCAN_FILTER,
+    "tokenize_tf": SQL_TOKENIZE_TF,
+    "doc_lengths": SQL_DOC_LENGTHS,
+    "term_stats": SQL_TERM_STATS,
+    "corpus_stats": SQL_CORPUS_STATS,
+    "bm25_topk": SQL_BM25_TOPK,
+    "top_terms_per_lang": SQL_TOP_TERMS_PER_LANG,
+    "match_tally": SQL_MATCH_TALLY,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "lineitem_agg": SQL_LINEITEM_AGG,
+    "orders_by_nation": SQL_ORDERS_BY_NATION,
+    "embedding_cosine_topk": SQL_EMBEDDING_COSINE_TOPK,
+}
