@@ -159,7 +159,12 @@ def _sql_bm25(query_terms: list[str], k: int) -> str:
     terms_list = ", ".join(f"'{t}'" for t in sorted(set(query_terms)))
     return f"""
 WITH {SQL_TF}
-, dl AS (SELECT doc_id, count(*)::BIGINT AS doc_len FROM tok GROUP BY doc_id)
+, dl AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                         t -> t <> ''))::BIGINT AS doc_len
+  FROM documents
+)
 , stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(doc_len)::DOUBLE AS avgdl FROM dl)
 , dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
 , q AS (SELECT unnest([{terms_list}]) AS term)

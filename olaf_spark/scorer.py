@@ -50,43 +50,78 @@ def idf(n_docs: int, df: int) -> float:
 
 
 def query_term_idfs(
-    spark: SparkSession,
     query_text: str,
     term_stats: DataFrame,
     n_docs: int,
     cfg: EngineConfig = _DEFAULT,
-) -> DataFrame:
-    """Small DF (term, idf) for the distinct query terms.
+) -> list[tuple[str, float]]:
+    """[(term, idf)] for the distinct query terms, ascending term order.
 
-    term_stats: (term, df). The filter is a pushdown-able IN-list, so with
+    Returned as plain literals, NOT a DataFrame: a createDataFrame-backed
+    side would be a Python-RDD ExistingRDD, and broadcasting one costs
+    seconds of Python-worker spin-up per query. The query side of the
+    posting join is a handful of constants — it belongs in the plan as
+    literals (isin filter + chained CASE WHEN), fully codegen'd.
+
+    term_stats: (term, df). The isin filter pushes down, so with
     term-sorted parquet this touches a handful of row groups.
     """
     qterms = sorted(set(tokenize_py(query_text, cfg)))
     if not qterms:
-        return spark.createDataFrame([], "term string, idf double")
+        return []
     rows = (
         term_stats.where(F.col("term").isin(qterms))
         .select("term", "df")
         .collect()
     )
-    data = [(t, idf(n_docs, int(d))) for t, d in rows]
-    return spark.createDataFrame(data, "term string, idf double")
+    dfs = {r["term"]: int(r["df"]) for r in rows}
+    return [(t, idf(n_docs, dfs[t])) for t in qterms if t in dfs]
+
+
+def postings_flat_df(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cfg: EngineConfig = _DEFAULT,
+) -> DataFrame:
+    """(term, doc_id, tf, doc_len) in ONE tokenize pass.
+
+    doc_len is recovered from tf itself (sum of tfs per doc == kept-token
+    count) via a window over the doc_id shuffle the groupBy already needs —
+    no second scan/tokenize of the corpus, no join against docs_meta.
+    """
+    tf = term_freqs_df(docs, text_col, id_col, cfg)
+    w = Window.partitionBy("doc_id")
+    return tf.select(
+        "term", "doc_id", "tf", F.sum("tf").over(w).alias("doc_len")
+    )
 
 
 def bm25_scores(
     postings_flat: DataFrame,
-    qidf: DataFrame,
+    qidf: list[tuple[str, float]],
     avgdl: float,
     cfg: EngineConfig = _DEFAULT,
 ) -> DataFrame:
     """(doc_id, score) for every doc matching >=1 query term.
 
     postings_flat: (term, doc_id, tf, doc_len) — doc_len denormalized into
-    the posting at build time so the query path has ONE join (vs. a second
-    big-big join against docs_meta).
+    the posting at build time so the query path has NO join at all: the
+    query terms enter the plan as an isin predicate (pushed to the scan)
+    plus a chained CASE WHEN for idf — whole-stage codegen end to end.
     """
+    if not qidf:
+        return (
+            postings_flat.select("doc_id")
+            .where(F.lit(False))
+            .withColumn("score", F.lit(0.0).cast("double"))
+        )
+    terms = [t for t, _ in qidf]
+    idf_expr = F.lit(None).cast("double")
+    for t, w in qidf:
+        idf_expr = F.when(F.col("term") == t, F.lit(w)).otherwise(idf_expr)
     contrib = (
-        F.col("idf")
+        idf_expr
         * F.col("tf")
         * F.lit(cfg.k1 + 1.0)
         / (
@@ -95,7 +130,7 @@ def bm25_scores(
             * (F.lit(1.0 - cfg.b) + F.lit(cfg.b) * F.col("doc_len") / F.lit(avgdl))
         )
     )
-    hits = postings_flat.join(F.broadcast(qidf), "term").select(
+    hits = postings_flat.where(F.col("term").isin(terms)).select(
         "doc_id", "term", contrib.alias("contrib")
     )
     # deterministic fold: sort contributions by term, accumulate left-to-right
@@ -136,18 +171,18 @@ class AdhocIndex:
     ):
         self.spark = spark
         self.cfg = cfg
-        tf = term_freqs_df(docs, text_col, id_col, cfg)
-        dl = doc_lengths_df(docs, text_col, id_col, cfg)
-        self.postings_flat = (
-            tf.join(dl, "doc_id").select("term", "doc_id", "tf", "doc_len").cache()
-        )
+        self.postings_flat = postings_flat_df(docs, text_col, id_col, cfg).cache()
         self.term_stats = (
             self.postings_flat.groupBy("term").agg(F.count("*").alias("df")).cache()
         )
-        self.n_docs, self.avgdl = corpus_stats(dl)
+        # N from a metadata-only count (no tokenize); avgdl = sum(tf)/N since
+        # doc_len == number of kept tokens == sum of tfs per doc.
+        self.n_docs = docs.count()
+        total = self.postings_flat.agg(F.sum("tf")).collect()[0][0] or 0
+        self.avgdl = total / self.n_docs if self.n_docs else 0.0
 
     def topk(self, query_text: str, k: int = 10) -> DataFrame:
-        qidf = query_term_idfs(self.spark, query_text, self.term_stats, self.n_docs, self.cfg)
+        qidf = query_term_idfs(query_text, self.term_stats, self.n_docs, self.cfg)
         return topk(bm25_scores(self.postings_flat, qidf, self.avgdl, self.cfg), k)
 
     def unpersist(self):
@@ -168,11 +203,17 @@ def bm25_topk_adhoc(
 
     The materialized-index path lives in indexer.py; this ad-hoc path is the
     semantics referent and the oracle-checked query.
+
+    postings_flat is cached: the plan needs it for corpus stats, df lookup,
+    and scoring — without the cache the tokenize+groupBy pipeline would run
+    once per downstream action (4x the work).
     """
-    tf = term_freqs_df(docs, text_col, id_col, cfg)
-    dl = doc_lengths_df(docs, text_col, id_col, cfg)
-    n_docs, avgdl = corpus_stats(dl)
-    term_stats = tf.groupBy("term").agg(F.count("*").alias("df"))
-    qidf = query_term_idfs(spark, query_text, term_stats, n_docs, cfg)
-    postings_flat = tf.join(dl, "doc_id").select("term", "doc_id", "tf", "doc_len")
+    postings_flat = postings_flat_df(docs, text_col, id_col, cfg).cache()
+    # N and avgdl over ALL docs (incl. zero-token ones) — oracle semantics.
+    # N is a metadata-only parquet count; avgdl = sum(tf)/N.
+    n_docs = docs.count()
+    total = postings_flat.agg(F.sum("tf")).collect()[0][0] or 0
+    avgdl = total / n_docs if n_docs else 0.0
+    term_stats = postings_flat.groupBy("term").agg(F.count("*").alias("df"))
+    qidf = query_term_idfs(query_text, term_stats, n_docs, cfg)
     return topk(bm25_scores(postings_flat, qidf, avgdl, cfg), k)
