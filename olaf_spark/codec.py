@@ -1,0 +1,133 @@
+"""Delta + varbyte posting-list compression (numpy, vectorized).
+
+Reference analogue: Olaf's order-preserving packed keys — the mem DB packs
+48-bit hash + 16-bit timestamp into one uint64 (`olaf_db_mem.c:25-32`,
+pack/unpack `:63-73`) and LMDB's MDB_DUPFIXED packs fixed-width posting
+values contiguously (`olaf_db.c:101-114`). Here the same idea for text
+postings: doc_ids are sorted ascending, gap-encoded (delta), then varbyte
+(LEB128) packed; tfs are varbyte packed directly.
+
+Everything is numpy-vectorized — these functions run inside Arrow-batched
+pandas UDFs on executors (no per-row Python), so encode/decode throughput
+is the knob that sets index size and posting-scan speed at 100 TB.
+
+Block-max metadata: postings are split into fixed-size blocks of
+``block_size`` docs; per block we keep (last_doc_id, max_score_quantum) so
+the query path can skip whole blocks (block-max WAND) the way Olaf's sorted
+B+tree range scan skips key ranges.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, fully vectorized.
+
+    Each value emits ceil(bits/7) bytes; continuation bit on all but the last.
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # number of 7-bit groups per value (>=1)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 1
+        tmp = tmp >> np.uint64(7)
+    nbytes = np.maximum(nbits, 1)
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    # byte positions: for value i, bytes go at offset[i] .. offset[i]+nbytes[i)-1
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    # emit least-significant group first with continuation bits
+    max_len = int(nbytes.max())
+    for g in range(max_len):
+        mask = nbytes > g
+        idx = starts[mask] + g
+        vals = (v[mask] >> np.uint64(7 * g)) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1) > g
+        out[idx] = vals.astype(np.uint8) | (cont.astype(np.uint8) << 7)
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes) -> np.ndarray:
+    """Inverse of varbyte_encode — vectorized LEB128 decode."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    # group index of each byte within its value: position since last boundary
+    val_id = np.zeros(b.size, dtype=np.int64)
+    val_id[1:] = np.cumsum(is_last)[:-1]
+    n_vals = int(is_last.sum())
+    # byte position within each value
+    starts = np.zeros(n_vals, dtype=np.int64)
+    ends = np.flatnonzero(is_last)
+    starts[1:] = ends[:-1] + 1
+    byte_pos = np.arange(b.size, dtype=np.int64) - starts[val_id]
+    out = np.zeros(n_vals, dtype=np.uint64)
+    np.add.at(out, val_id, (b & np.uint8(0x7F)).astype(np.uint64) << (7 * byte_pos).astype(np.uint64))
+    return out
+
+
+def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
+    """Ascending ids -> gaps (first kept absolute). Input must be sorted."""
+    a = np.asarray(sorted_ids, dtype=np.uint64)
+    if a.size == 0:
+        return a
+    out = np.empty_like(a)
+    out[0] = a[0]
+    out[1:] = a[1:] - a[:-1]
+    return out
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    g = np.asarray(gaps, dtype=np.uint64)
+    return np.cumsum(g, dtype=np.uint64)
+
+
+def pack_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
+    """(doc_ids sorted ascending, tfs aligned) -> (packed_ids, packed_tfs)."""
+    return varbyte_encode(delta_encode(doc_ids)), varbyte_encode(tfs)
+
+
+def unpack_postings(id_buf: bytes, tf_buf: bytes) -> tuple[np.ndarray, np.ndarray]:
+    return delta_decode(varbyte_decode(id_buf)), varbyte_decode(tf_buf)
+
+
+def block_maxes(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    doc_lens: np.ndarray,
+    idf_w: float,
+    k1: float,
+    b: float,
+    avgdl: float,
+    block_size: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-block (last_doc_id, max BM25 contribution) for block-max WAND.
+
+    The max is exact for the stored parameterization — the config-frozen
+    invariant (olaf_config.h:46-50) is what makes precomputing it sound.
+    """
+    n = doc_ids.size
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    # same association order as oracle/scorer so the bound is >= true scores
+    scores = idf_w * (tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * doc_lens / avgdl)))
+    n_blocks = (n + block_size - 1) // block_size
+    pad = n_blocks * block_size - n
+    if pad:
+        scores = np.concatenate([scores, np.full(pad, -np.inf)])
+        last_ids = np.concatenate([doc_ids, np.full(pad, doc_ids[-1], dtype=doc_ids.dtype)])
+    else:
+        last_ids = doc_ids
+    bm = scores.reshape(n_blocks, block_size).max(axis=1)
+    lasts = last_ids.reshape(n_blocks, block_size)[:, -1].astype(np.int64)
+    return lasts, bm

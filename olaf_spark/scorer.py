@@ -120,9 +120,9 @@ def bm25_scores(
     idf_expr = F.lit(None).cast("double")
     for t, w in qidf:
         idf_expr = F.when(F.col("term") == t, F.lit(w)).otherwise(idf_expr)
-    contrib = (
-        idf_expr
-        * F.col("tf")
+    # association order matches the oracle exactly: idf * (tf*(k1+1)/denom)
+    contrib = idf_expr * (
+        F.col("tf")
         * F.lit(cfg.k1 + 1.0)
         / (
             F.col("tf")

@@ -1,0 +1,128 @@
+"""Materialized index build + WAND query: rank identity and resumability.
+
+Mirrors the reference's store -> query -> golden-expectation flow
+(tests/olaf_functional_tests.zig:314-326) plus the resume requirement
+(north_rule; FIXTURES.md §4 'resume' row).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+import pytest
+
+from olaf_spark.config import EngineConfig
+from olaf_spark.indexer import Index, build_index, completed_buckets
+from olaf_spark.oracle import OracleIndex
+from olaf_spark.synth import gen_pages, gen_queries
+from olaf_spark.wand import exhaustive_topk, load_term_postings, query_index, wand_topk
+
+N_DOCS = 200
+K = 10
+# small blocks so WAND actually exercises block skipping on a tiny corpus
+CFG = EngineConfig(block_size=8)
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("ix") / "index")
+    pages = gen_pages(spark, N_DOCS, seed=42).select("doc_id", "text").cache()
+    oracle = OracleIndex.build(
+        [(r["doc_id"], r["text"]) for r in pages.collect()], CFG
+    )
+    index = build_index(spark, pages, index_dir, CFG, n_buckets=8)
+    return pages, oracle, index
+
+
+def assert_identical(got, want):
+    assert [d for d, _ in got] == [d for d, _ in want], (got, want)
+    for (gd, gs), (od, osc) in zip(got, want):
+        assert math.isclose(gs, osc, rel_tol=1e-12, abs_tol=1e-15), (gd, gs, osc)
+
+
+def test_stats_match_oracle(built):
+    _, oracle, index = built
+    assert index.n_docs == oracle.n_docs
+    assert math.isclose(index.avgdl, oracle.avgdl, rel_tol=1e-12)
+    assert index.stats["n_terms"] == len(oracle.postings)
+
+
+def test_wand_rank_identical_to_oracle(spark, built):
+    pages, oracle, index = built
+    queries = [r["query_text"] for r in gen_queries(spark, pages, 10).collect()]
+    assert len(queries) >= 10
+    for q in queries:
+        lists = load_term_postings(spark, index, q)
+        want = oracle.topk(q, K)
+        got_ex = exhaustive_topk(lists, K)
+        got_wand = wand_topk(lists, K)
+        assert_identical(got_ex, want)
+        assert_identical(got_wand, want)
+
+
+def test_wand_equals_exhaustive_small_k(spark, built):
+    """k=1..3 stresses the theta threshold / block skipping paths."""
+    pages, oracle, index = built
+    for q in ["w2 w3 w5 w10", "w1 w100 w1000", "needle97 w2"]:
+        lists = load_term_postings(spark, index, q)
+        for k in (1, 2, 3, 25):
+            assert_identical(wand_topk(lists, k), exhaustive_topk(lists, k))
+
+
+def test_query_index_end_to_end(spark, built):
+    pages, oracle, index = built
+    got = query_index(spark, index, "needle97", k=5)
+    assert got and got[0][0] == 97
+    assert query_index(spark, index, "zzqxnothere", k=5) == []
+
+
+def test_config_mismatch_refused(spark, built):
+    _, _, index = built
+    with pytest.raises(ValueError):
+        Index.load(index.index_dir, query_cfg=EngineConfig(block_size=99))
+
+
+def test_lineage_rows(spark, built):
+    _, _, index = built
+    lin = index.lineage(spark)
+    seg = lin.where(lin.stage == "segments").collect()
+    assert len(seg) == 8  # one per bucket
+    assert all(r["status"] == "done" and r["output_rows"] > 0 for r in seg)
+    assert lin.where(lin.stage == "merge").count() == 1
+
+
+def test_resume_skips_done_buckets_and_matches_clean(spark, built, tmp_path):
+    """Kill-after-stage-1-subset restart: output equals a clean build."""
+    pages, oracle, index = built
+    resume_dir = str(tmp_path / "resume_ix")
+
+    # simulate a crashed build: copy a finished index, then delete 3 buckets'
+    # segment data AND their lineage rows (as if they never committed)
+    shutil.copytree(index.index_dir, resume_dir)
+    lin = spark.read.parquet(os.path.join(resume_dir, "lineage"))
+    keep = lin.where(
+        ~((lin.stage == "segments") & (lin.partition_id.isin([2, 5, 7])))
+    ).collect()
+    shutil.rmtree(os.path.join(resume_dir, "lineage"))
+    shutil.rmtree(os.path.join(resume_dir, "postings"))
+    os.remove(os.path.join(resume_dir, "stats.json"))
+    for b in (2, 5, 7):
+        shutil.rmtree(os.path.join(resume_dir, "segments", f"bucket={b}"))
+    import pandas as pd
+
+    spark.createDataFrame(pd.DataFrame([r.asDict() for r in keep])).write.parquet(
+        os.path.join(resume_dir, "lineage")
+    )
+
+    assert completed_buckets(spark, resume_dir) == {0, 1, 3, 4, 6}
+    resumed = build_index(
+        spark, pages, resume_dir, CFG, n_buckets=8, resume=True
+    )
+    assert resumed.stats["n_postings"] == index.stats["n_postings"]
+    assert resumed.stats["n_terms"] == index.stats["n_terms"]
+    for q in ["w2 w17 w300", "needle97"]:
+        assert_identical(
+            query_index(spark, resumed, q, K), query_index(spark, index, q, K)
+        )
