@@ -422,6 +422,286 @@ LIMIT {K}
 
 
 # --------------------------------------------------------------------------
+# extraction round-trip (the byte-identity invariant, driver-checked)
+# --------------------------------------------------------------------------
+
+
+def q_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap text in the synthetic HTML template, extract via the pandas UDF;
+    the oracle is simply the original text — byte identity is the check."""
+    from olaf_spark.extract import extract_text_udf
+    from olaf_spark.synth import _HTML_POST, _HTML_PRE
+
+    docs = _docs(spark, sf_dir)
+    html = F.encode(F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST)), "utf-8")
+    return docs.select("doc_id", extract_text_udf(html).alias("extracted"))
+
+
+SQL_EXTRACT_ROUNDTRIP = "SELECT doc_id, text AS extracted FROM documents"
+
+
+# --------------------------------------------------------------------------
+# dedup family (ops/dedup.py)
+# --------------------------------------------------------------------------
+
+_SQL_SHINGLES = f"""
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3
+                THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                ELSE array_to_string(toks, ' ') END AS shingle
+    FROM (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
+      FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                           t -> t <> '') AS toks
+        FROM documents
+      )
+    )
+  )
+)
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olaf_spark.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.1).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {_SQL_SHINGLES}
+, sizes AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM sh GROUP BY doc_id)
+, inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(inter / (sa.n_shingles + sb.n_shingles - inter), 6)::DOUBLE AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter / (sa.n_shingles + sb.n_shingles - inter), 6) >= 0.1
+"""
+
+N_MINHASH = 8
+LSH_BANDS = 4
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olaf_spark.ops.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir), n_hashes=N_MINHASH, n=3)
+
+
+def _sql_minhash_cols() -> str:
+    return ", ".join(
+        f"min(md5('{s}|' || shingle)) AS mh_{s}" for s in range(N_MINHASH)
+    )
+
+
+SQL_MINHASH_SIGNATURES = f"""
+WITH {_SQL_SHINGLES}
+SELECT doc_id, {_sql_minhash_cols()} FROM sh GROUP BY doc_id
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olaf_spark.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), n_hashes=N_MINHASH, bands=LSH_BANDS, n=3)
+
+
+def _sql_band_hashes() -> str:
+    rows = N_MINHASH // LSH_BANDS
+    parts = []
+    for bi in range(LSH_BANDS):
+        cols = " || '|' || ".join(f"mh_{bi * rows + j}" for j in range(rows))
+        parts.append(f"SELECT doc_id, {bi} AS band, md5({cols}) AS bh FROM sig")
+    return " UNION ALL ".join(parts)
+
+
+SQL_MINHASH_LSH_PAIRS = f"""
+WITH {_SQL_SHINGLES}
+, sig AS (SELECT doc_id, {_sql_minhash_cols()} FROM sh GROUP BY doc_id)
+, banded AS ({_sql_band_hashes()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_bands
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olaf_spark.ops.dedup import simhash_df
+
+    return simhash_df(q_tokenize_tf(spark, sf_dir), bits=32)
+
+
+def _sql_simhash() -> str:
+    from olaf_spark.ops.dedup import simhash_sql
+
+    return simhash_sql(SQL_TF.strip().lstrip(","), bits=32)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olaf_spark.ops.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_read(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+SQL_EMBEDDING_NEAR_DUPS = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)::DOUBLE AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+"""
+
+
+# --------------------------------------------------------------------------
+# text analysis (ops/text.py)
+# --------------------------------------------------------------------------
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olaf_spark.ops.text import lang_id_df
+
+    return lang_id_df(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olaf_spark.ops.text import quality_score_df
+
+    return quality_score_df(_docs(spark, sf_dir))
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olaf_spark.ops.text import token_count_df
+
+    return token_count_df(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olaf_spark.ops.text import doc_fingerprint_df
+
+    return doc_fingerprint_df(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# similarity search (ops/similarity.py)
+# --------------------------------------------------------------------------
+
+
+def q_batch_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olaf_spark.ops.similarity import batch_cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = batch_cosine_topk(emb.where(F.col("vec_id") >= 3), queries, k=5)
+    return out
+
+
+SQL_BATCH_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)::DOUBLE AS cosine_sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 3
+)
+SELECT query_id, vec_id, cosine_sim, rank FROM (
+  SELECT query_id, vec_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC)::BIGINT AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN — no SQL oracle (LSH plan); recall vs brute force is
+    pytest-verified (tests/test_ops_similarity.py)."""
+    from olaf_spark.ops.similarity import ann_lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return ann_lsh_topk(emb.where(F.col("vec_id") != 0), list(qvec), k=10, n_planes=6)
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing (ops/multimodal.py) — rows-only checks (stubbed decode)
+# --------------------------------------------------------------------------
+
+
+def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olaf_spark.ops.multimodal import image_meta, synth_media
+
+    return image_meta(synth_media(_docs(spark, sf_dir)))
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olaf_spark.ops.multimodal import frame_sample, synth_media
+
+    media = synth_media(_docs(spark, sf_dir))
+    return frame_sample(media.where(F.col("kind") == "video"))
+
+
+# --------------------------------------------------------------------------
+# sessionization over events (window + lag, SURVEY §2.8 session spans)
+# --------------------------------------------------------------------------
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events").withColumn(
+        # parquet stores TIMESTAMP_NTZ; with session TZ pinned UTC the
+        # ltz cast is identity, and ltz casts to epoch seconds
+        "ts_s", F.col("ts").cast("timestamp").cast("long")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts_s") - F.lag(F.col("ts_s")).over(w)
+    with_gap = ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    sess = with_gap.withColumn(
+        "sess_idx", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "sess_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("ts").alias("sess_start"),
+            F.max("ts").alias("sess_end"),
+        )
+        .select("user_id", F.col("sess_idx").cast("long").alias("sess_idx"),
+                "n_events", "sess_start", "sess_end")
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_idx
+  FROM g
+)
+SELECT user_id, sess_idx::BIGINT AS sess_idx, count(*)::BIGINT AS n_events,
+       min(ts) AS sess_start, max(ts) AS sess_end
+FROM s GROUP BY user_id, sess_idx
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -439,6 +719,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_agg": q_lineitem_agg,
     "orders_by_nation": q_orders_by_nation,
     "embedding_cosine_topk": q_embedding_cosine_topk,
+    "extract_roundtrip": q_extract_roundtrip,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash": q_simhash,
+    "embedding_near_dups": q_embedding_near_dups,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "batch_cosine_topk": q_batch_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "multimodal_image_meta": q_multimodal_image_meta,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
+    "sessionize": q_sessionize,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -455,4 +750,31 @@ ORACLE_SQL: dict[str, str] = {
     "lineitem_agg": SQL_LINEITEM_AGG,
     "orders_by_nation": SQL_ORDERS_BY_NATION,
     "embedding_cosine_topk": SQL_EMBEDDING_COSINE_TOPK,
+    "extract_roundtrip": SQL_EXTRACT_ROUNDTRIP,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+    "simhash": _sql_simhash(),
+    "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+    "lang_id": None,  # filled below (function-generated)
+    "quality_score": None,
+    "token_count": None,
+    "doc_fingerprint": None,
+    "batch_cosine_topk": SQL_BATCH_COSINE_TOPK,
+    "sessionize": SQL_SESSIONIZE,
+    # ann_lsh_topk / multimodal_* intentionally absent: non-SQL-expressible
+    # (LSH plan / stubbed decoders) -> driver records rows-only checks;
+    # they are pytest-verified instead.
 }
+
+from olaf_spark.ops.text import (  # noqa: E402
+    doc_fingerprint_sql,
+    lang_id_sql,
+    quality_score_sql,
+    token_count_sql,
+)
+
+ORACLE_SQL["lang_id"] = lang_id_sql()
+ORACLE_SQL["quality_score"] = quality_score_sql()
+ORACLE_SQL["token_count"] = token_count_sql()
+ORACLE_SQL["doc_fingerprint"] = doc_fingerprint_sql()

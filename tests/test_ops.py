@@ -1,0 +1,154 @@
+"""Operator-level tests for the training-data pipeline ops (dedup,
+similarity, text, multimodal) — planted-duplicate goldens, ANN recall vs
+brute force, and binary-column plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from olaf_spark.ops.dedup import (
+    embedding_near_dup_pairs,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_df,
+)
+from olaf_spark.ops.multimodal import frame_sample, image_meta, synth_media
+from olaf_spark.ops.similarity import ann_lsh_topk, batch_cosine_topk, cosine_topk
+from olaf_spark.tokenize import term_freqs_df
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog near the river delta"),  # near dup of 0
+    (3, "completely different content about spark inverted index engines"),
+    (4, "another unrelated document mentioning embeddings and vectors"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_dup_groups(docs):
+    rows = {r["keep_doc_id"]: r["n_copies"] for r in exact_dup_groups(docs).collect()}
+    assert rows[0] == 2  # docs 0,1 identical
+    assert rows[2] == 1 and rows[3] == 1
+
+
+def test_ngram_jaccard_planted(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, n=3, threshold=0.0).collect()}
+    assert pairs[(0, 1)] == 1.0            # identical -> jaccard 1
+    assert 0.5 < pairs[(0, 2)] < 1.0       # one word changed -> high overlap
+    assert (0, 3) not in pairs             # nothing shared
+
+
+def test_minhash_identical_signatures(docs):
+    sig = {r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(16))
+           for r in minhash_signatures(docs, n_hashes=16).collect()}
+    assert sig[0] == sig[1]
+    assert sig[0] != sig[3]
+    # near-dup shares most minhashes
+    shared = sum(a == b for a, b in zip(sig[0], sig[2]))
+    assert shared >= 8
+
+
+def test_minhash_lsh_pairs_finds_dups(docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             minhash_lsh_pairs(docs, n_hashes=16, bands=8).collect()}
+    assert (0, 1) in pairs
+    assert (3, 4) not in pairs
+
+
+def test_simhash_identical_docs_equal(spark, docs):
+    tf = term_freqs_df(docs)
+    sh = {r["doc_id"]: r["simhash"] for r in simhash_df(tf, bits=32).collect()}
+    assert sh[0] == sh[1]
+    # near-dup hamming distance small, unrelated large
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(sh[0], sh[2]) <= ham(sh[0], sh[3])
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16))
+    base[1] = base[0] + 0.01 * rng.standard_normal(16)  # planted near-dup
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache(), base
+
+
+def test_embedding_near_dups_planted(emb):
+    df, _ = emb
+    pairs = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(df, 0.95).collect()}
+    assert (0, 1) in pairs
+
+
+def test_cosine_topk_matches_numpy(emb):
+    df, base = emb
+    q = base[0]
+    sims = (base @ q) / (np.linalg.norm(base, axis=1) * np.linalg.norm(q))
+    want = list(np.argsort(-np.round(sims, 6), kind="stable")[:5])
+    got = [r["vec_id"] for r in cosine_topk(df, [float(x) for x in q], k=5).collect()]
+    assert got == [int(w) for w in want]
+
+
+def test_ann_lsh_recall(emb):
+    df, base = emb
+    q = [float(x) for x in base[0]]
+    exact = {r["vec_id"] for r in cosine_topk(df, q, k=5).collect()}
+    approx = {r["vec_id"] for r in
+              ann_lsh_topk(df, q, k=5, n_planes=4, n_probes=3).collect()}
+    # recall@5 >= 0.6 on this tiny set with multiprobe
+    assert len(exact & approx) >= 3
+
+
+def test_batch_cosine_topk_shape(emb):
+    df, _ = emb
+    queries = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = batch_cosine_topk(df, queries, k=3).collect()
+    assert len(out) == 6
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
+    # self-match ranks first with sim 1.0
+    top = {r["query_id"]: r for r in out if r["rank"] == 1}
+    assert top[0]["vec_id"] == 0 and top[0]["cosine_sim"] == 1.0
+
+
+def test_multimodal_image_meta(docs):
+    media = synth_media(docs)
+    rows = image_meta(media).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_bytes"] > 0 and r["format"] in ("png", "jpeg", "webp")
+        assert 16 <= r["width"] <= 4096 and 16 <= r["height"] <= 4096
+        assert len(r["sha1"]) == 40
+    # determinism: identical payloads -> identical meta
+    by_id = {r["media_id"]: (r["format"], r["width"], r["height"], r["sha1"]) for r in rows}
+    assert by_id[0] == by_id[1]
+
+
+def test_multimodal_pil_backend_stubbed(docs):
+    with pytest.raises(NotImplementedError):
+        image_meta(synth_media(docs), decode_backend="pil").collect()
+
+
+def test_multimodal_frame_sample_fanout(docs):
+    media = synth_media(docs)
+    rows = frame_sample(media, every_n=2, max_frames=4).collect()
+    assert rows
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    for idxs in by_media.values():
+        assert sorted(idxs) == list(range(len(idxs)))  # dense 0..n-1
