@@ -1,0 +1,151 @@
+"""Structured Streaming operators — the streaming-query variant.
+
+Reference analogue: Olaf's query path IS a streaming engine when fed stdin
+(`src/olaf.c:213-220`): a stateful match accumulator with TTL eviction
+(`olaf_fp_matcher_remove_old_matches`, olaf_fp_matcher.c:121-139), periodic
+result emission (:235-244), and sliding windows over the sample stream
+(olaf_reader_stream.c:66-96). Spark mapping per SURVEY §2.8:
+
+  TTL eviction            -> withWatermark + windowed agg, and
+                             applyInPandasWithState with timeouts
+  periodic emission       -> trigger(processingTime=...) + update mode
+  tumbling fragments      -> window(ts, "30 seconds")
+  incremental index append-> foreachBatch -> segment append (indexer)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    window_len: str = "30 seconds",
+    watermark: str = "10 seconds",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window counts with watermark-driven state eviction.
+
+    The watermark is Olaf's `keepMatchesFor`: state older than (max event
+    time - watermark) is dropped, exactly the remove_old_matches TTL.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_len).alias("win"), F.col(key_col))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ACC_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("match_count", LongType()),
+        StructField("first_ref", TimestampType()),
+        StructField("last_ref", TimestampType()),
+    ]
+)
+
+ACC_STATE_SCHEMA = StructType(
+    [
+        StructField("match_count", LongType()),
+        StructField("first_ref", TimestampType()),
+        StructField("last_ref", TimestampType()),
+    ]
+)
+
+
+def _make_accumulator(ttl_ms: int):
+    def _accumulate(key, pdfs, state: GroupState):
+        """Per-doc match accumulator with TTL eviction — the literal Spark
+        re-expression of Olaf's match_result hash table
+        (olaf_fp_matcher.c:29-57) + remove_old_matches (:121-139): state older
+        than `ttl` relative to the event-time watermark is silently dropped,
+        exactly how Olaf evicts accumulator entries older than max_age."""
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, first, last = (state.get if state.exists else (0, None, None))
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            ts_min, ts_max = pdf["ts"].min(), pdf["ts"].max()
+            first = ts_min if first is None or ts_min < first else first
+            last = ts_max if last is None or ts_max > last else last
+        state.update((n, first, last))
+        # evict once the watermark passes LAST ACTIVITY + TTL (event-time: no
+        # wall clock, so availableNow batches terminate deterministically — a
+        # processing-time timeout would schedule micro-batches forever, and a
+        # watermark-relative timeout would fire in the first no-data batch).
+        last_ms = int(last.timestamp() * 1000) if last is not None else 0
+        state.setTimeoutTimestamp(max(last_ms + ttl_ms, state.getCurrentWatermarkMs() + 1))
+        yield pd.DataFrame(
+            {"doc_id": [key[0]], "match_count": [n], "first_ref": [first], "last_ref": [last]}
+        )
+
+    return _accumulate
+
+
+def stateful_match_accumulator(hits: DataFrame, ttl: str = "10 seconds") -> DataFrame:
+    """hits stream: (doc_id long, ts timestamp) -> running per-doc tallies.
+
+    Emits the current count per doc on every micro-batch (update mode) —
+    Olaf's printResultEvery periodic emission; TTL is keepMatchesFor.
+    """
+    ttl_ms = int(ttl.split()[0]) * 1000
+    return (
+        hits.withWatermark("ts", ttl)
+        .groupBy("doc_id")
+        .applyInPandasWithState(
+            _make_accumulator(ttl_ms),
+            outputStructType=ACC_OUTPUT_SCHEMA,
+            stateStructType=ACC_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def stream_bm25_queries(
+    spark: SparkSession,
+    query_stream: DataFrame,
+    index,
+    k: int = 10,
+):
+    """foreachBatch BM25 serving: each micro-batch of (query_id, query_text)
+    rows is answered against the materialized index via the WAND scorer.
+
+    Returns (results_accumulator_list, foreachBatch_fn) — attach the fn with
+    .writeStream.foreachBatch(fn). Incremental-index appends compose the
+    same way: foreachBatch -> indexer.build_index(resume=True).
+    """
+    from olaf_spark.wand import query_index
+
+    results: list[tuple] = []
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        for row in batch_df.collect():
+            for rank, (doc_id, score) in enumerate(
+                query_index(spark, index, row["query_text"], k=k), start=1
+            ):
+                results.append((row["query_id"], rank, doc_id, score))
+
+    return results, handle

@@ -1,0 +1,127 @@
+"""Structured Streaming tests: watermark windowed agg, stateful accumulator
+with TTL, and foreachBatch BM25 serving — driven synchronously with the
+memory sink + processAllAvailable (no wall-clock flakiness)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from olaf_spark.streaming import (
+    stateful_match_accumulator,
+    stream_bm25_queries,
+    windowed_event_counts,
+)
+
+EVENTS_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+HITS_SCHEMA = "doc_id long, ts timestamp"
+
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    return str(tmp_path / "in")
+
+
+def _write_batch(spark, schema, rows, path, name):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_windowed_counts_with_watermark(spark, stream_dir):
+    rows = [
+        (1, "2024-01-01 00:00:05", 1, "click", 1.0),
+        (2, "2024-01-01 00:00:15", 1, "click", 2.0),
+        (3, "2024-01-01 00:00:35", 2, "view", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, user_id long, event_type string, value double")
+    df.withColumn("ts", F.to_timestamp("ts")).write.parquet(stream_dir)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
+    )
+    agg = windowed_event_counts(stream, "30 seconds", "10 seconds")
+    # complete mode: emits every window each trigger (append would emit only
+    # watermark-closed windows, which a single availableNow batch never sees;
+    # TTL/eviction behavior is covered by the stateful accumulator test)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from win_out").collect()
+    got = {(str(r["win_start"]), r["event_type"]): (r["n_events"], r["sum_value"]) for r in rows}
+    assert got[("2024-01-01 00:00:00", "click")] == (2, 3.0)
+    assert got[("2024-01-01 00:00:30", "view")] == (1, 3.0)
+
+
+def test_stateful_accumulator_across_batches(spark, stream_dir):
+    b1 = [(7, "2024-01-01 00:00:01"), (7, "2024-01-01 00:00:02"), (9, "2024-01-01 00:00:03")]
+    spark.createDataFrame(b1, "doc_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    ).coalesce(1).write.parquet(stream_dir)
+
+    stream = spark.readStream.schema(HITS_SCHEMA).parquet(stream_dir)
+    acc = stateful_match_accumulator(stream)
+    q = (
+        acc.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("acc_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {r["doc_id"]: r["match_count"] for r in spark.sql("select * from acc_out").collect()}
+        assert got1 == {7: 2, 9: 1}
+
+        b2 = [(7, "2024-01-01 00:00:10")]
+        spark.createDataFrame(b2, "doc_id long, ts string").withColumn(
+            "ts", F.to_timestamp("ts")
+        ).coalesce(1).write.mode("append").parquet(stream_dir)
+        q.processAllAvailable()
+        rows = spark.sql("select * from acc_out").collect()
+        # state carried across batches: doc 7 now counts 3
+        assert any(r["doc_id"] == 7 and r["match_count"] == 3 for r in rows)
+
+        # TTL eviction (keepMatchesFor analogue): an event far past the TTL
+        # advances the watermark, evicting old state — a later doc-7 hit
+        # restarts its tally at 1 instead of continuing at 4
+        b3 = [(999, "2024-01-01 01:00:00")]
+        spark.createDataFrame(b3, "doc_id long, ts string").withColumn(
+            "ts", F.to_timestamp("ts")
+        ).coalesce(1).write.mode("append").parquet(stream_dir)
+        q.processAllAvailable()
+        b4 = [(7, "2024-01-01 01:00:05")]
+        spark.createDataFrame(b4, "doc_id long, ts string").withColumn(
+            "ts", F.to_timestamp("ts")
+        ).coalesce(1).write.mode("append").parquet(stream_dir)
+        q.processAllAvailable()
+        latest_7 = [r["match_count"] for r in spark.sql(
+            "select * from acc_out").collect() if r["doc_id"] == 7]
+        assert 1 in latest_7 and 4 not in latest_7
+    finally:
+        q.stop()
+
+
+def test_foreachbatch_bm25_serving(spark, tmp_path):
+    from olaf_spark.config import EngineConfig
+    from olaf_spark.indexer import build_index
+    from olaf_spark.synth import gen_pages
+
+    pages = gen_pages(spark, 60, seed=42).select("doc_id", "text")
+    index = build_index(spark, pages, str(tmp_path / "ix"), EngineConfig(), n_buckets=4)
+
+    qdir = str(tmp_path / "queries")
+    spark.createDataFrame(
+        [(1, "needle0"), (2, "w2 w17")], "query_id long, query_text string"
+    ).coalesce(1).write.parquet(qdir)
+    stream = spark.readStream.schema("query_id long, query_text string").parquet(qdir)
+    results, handle = stream_bm25_queries(spark, stream, index, k=3)
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    by_q = {}
+    for qid, rank, doc_id, score in results:
+        by_q.setdefault(qid, []).append((rank, doc_id))
+    assert by_q[1][0] == (1, 0)  # needle0 -> doc 0
+    assert len(by_q[2]) == 3
