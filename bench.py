@@ -45,8 +45,12 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     spark = get_spark(cpus, app_name="olaf_spark_bench", shuffle_partitions=cpus)
-    # warm up the JVM + parquet footers so per-query times measure the plans
+    # warm up the JVM + parquet footers + Python workers so per-query times
+    # measure the plans, not fork/import constants
+    from olaf_spark.session import prewarm_python_workers
+
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    prewarm_python_workers(spark)
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -55,11 +59,30 @@ def main() -> None:
         force(fn(spark, sf_dir))
         times[name] = round(time.perf_counter() - t0, 3)
 
+    # materialized index build + WAND serving latency
+    import tempfile
+
+    from olaf_spark.config import EngineConfig
+    from olaf_spark.indexer import build_index
+    from olaf_spark.wand import load_term_postings, wand_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with tempfile.TemporaryDirectory() as tmp:
+        t0 = time.perf_counter()
+        index = build_index(spark, docs, f"{tmp}/ix", EngineConfig(), n_buckets=16)
+        build_s = round(time.perf_counter() - t0, 3)
+        lat = []
+        for i in range(24):
+            q = f"spark join window w{i}" if i % 2 else "data query filter"
+            t0 = time.perf_counter()
+            wand_topk(load_term_postings(spark, index, q), 10)
+            lat.append((time.perf_counter() - t0) * 1000)
+        lat.sort()
+
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     spark.stop()
 
     total = round(sum(times.values()), 3)
-    index_time = times["tokenize_tf"] + times["term_stats"]
     out = {
         "metric": "olaf_spark headline query wall time",
         "value": total,
@@ -67,7 +90,10 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "n_docs": n_docs,
-        "index_docs_per_s": round(n_docs / index_time, 1) if index_time > 0 else None,
+        "index_build_s": build_s,
+        "index_docs_per_s": round(n_docs / build_s, 1) if build_s > 0 else None,
+        "bm25_wand_p50_ms": round(lat[len(lat) // 2], 1),
+        "bm25_wand_p95_ms": round(lat[int(len(lat) * 0.95)], 1),
         "parallelism": cpus,
     }
     print(json.dumps(out))

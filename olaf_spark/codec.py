@@ -22,14 +22,8 @@ from __future__ import annotations
 import numpy as np
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array, fully vectorized.
-
-    Each value emits ceil(bits/7) bytes; continuation bit on all but the last.
-    """
-    v = np.asarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
+def _varbyte_encode_arr(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Core vectorized LEB128: returns (byte array, bytes-per-value)."""
     # number of 7-bit groups per value (>=1)
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
@@ -53,6 +47,15 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         vals = (v[mask] >> np.uint64(7 * g)) & np.uint64(0x7F)
         cont = (nbytes[mask] - 1) > g
         out[idx] = vals.astype(np.uint8) | (cont.astype(np.uint8) << 7)
+    return out, nbytes
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, fully vectorized."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    out, _ = _varbyte_encode_arr(v)
     return out.tobytes()
 
 
@@ -99,6 +102,42 @@ def pack_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
 
 def unpack_postings(id_buf: bytes, tf_buf: bytes) -> tuple[np.ndarray, np.ndarray]:
     return delta_decode(varbyte_decode(id_buf)), varbyte_decode(tf_buf)
+
+
+def delta_encode_grouped(values: np.ndarray, group_starts: np.ndarray) -> np.ndarray:
+    """Gap-encode a concatenation of per-group ascending runs in one pass:
+    each group's first element stays absolute, the rest become gaps."""
+    a = np.asarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return a
+    out = np.empty_like(a)
+    out[0] = a[0]
+    out[1:] = a[1:] - a[:-1]
+    out[group_starts] = a[group_starts]
+    return out
+
+
+def encode_grouped(
+    values: np.ndarray, group_starts: np.ndarray, delta: bool
+) -> list[bytes]:
+    """Varbyte-encode MANY posting lists in ONE vectorized pass.
+
+    values: concatenated per-group arrays; group_starts: start index of each
+    group. Returns one bytes object per group. This is the executor hot path
+    of the index build — per-group Python work is a single bytes() slice.
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    n_groups = len(group_starts)
+    if v.size == 0:
+        return [b""] * n_groups
+    if delta:
+        v = delta_encode_grouped(v, group_starts)
+    buf, nbytes = _varbyte_encode_arr(v)
+    value_byte_starts = np.concatenate([[0], np.cumsum(nbytes)])
+    gb = value_byte_starts[group_starts]
+    ge = np.concatenate([gb[1:], [value_byte_starts[-1]]])
+    raw = buf.tobytes()
+    return [raw[int(s):int(e)] for s, e in zip(gb, ge)]
 
 
 def block_maxes(

@@ -422,6 +422,45 @@ LIMIT {K}
 
 
 # --------------------------------------------------------------------------
+# flagship, materialized-index path: build -> packed postings -> block-max
+# WAND -> top-k. Same oracle as bm25_topk: the codec + merge + WAND pipeline
+# must reproduce the DataFrame path bit-for-bit (after 4dp rounding).
+# --------------------------------------------------------------------------
+
+_INDEX_CACHE: dict[str, object] = {}
+
+
+def _get_index(spark: SparkSession, sf_dir: str):
+    from olaf_spark.indexer import build_index
+
+    if sf_dir not in _INDEX_CACHE:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="entry_ix_")
+        _INDEX_CACHE[sf_dir] = build_index(
+            spark, _docs(spark, sf_dir), d, CFG, n_buckets=8
+        )
+    return _INDEX_CACHE[sf_dir]
+
+
+def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from olaf_spark.wand import query_index
+
+    index = _get_index(spark, sf_dir)
+    hits = query_index(spark, index, FLAGSHIP_QUERY, k=K, use_wand=True)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in hits],
+            "score": [round(s, 4) for _, s in hits],
+            "rank": list(range(1, len(hits) + 1)),
+        }
+    )
+    return spark.createDataFrame(pdf, "doc_id long, score double, rank long")
+
+
+# --------------------------------------------------------------------------
 # extraction round-trip (the byte-identity invariant, driver-checked)
 # --------------------------------------------------------------------------
 
@@ -719,6 +758,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_agg": q_lineitem_agg,
     "orders_by_nation": q_orders_by_nation,
     "embedding_cosine_topk": q_embedding_cosine_topk,
+    "bm25_topk_wand": q_bm25_topk_wand,
     "extract_roundtrip": q_extract_roundtrip,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_signatures": q_minhash_signatures,
@@ -750,6 +790,7 @@ ORACLE_SQL: dict[str, str] = {
     "lineitem_agg": SQL_LINEITEM_AGG,
     "orders_by_nation": SQL_ORDERS_BY_NATION,
     "embedding_cosine_topk": SQL_EMBEDDING_COSINE_TOPK,
+    "bm25_topk_wand": SQL_BM25_TOPK,
     "extract_roundtrip": SQL_EXTRACT_ROUNDTRIP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,

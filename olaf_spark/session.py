@@ -33,3 +33,24 @@ def get_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def prewarm_python_workers(spark: SparkSession) -> None:
+    """Fork + import one reusable Python/Arrow worker per core.
+
+    Cold pandas-UDF stages pay worker fork + numpy/pandas import once per
+    core (~30 s wall for 32 workers on this box). Real clusters run with
+    warm executors; call this before timing builds or serving latency.
+    """
+    cores = spark.sparkContext.defaultParallelism
+
+    def _noop(it):
+        yield from it
+
+    (
+        spark.range(0, cores * 4, 1, cores * 4)
+        .mapInPandas(_noop, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )

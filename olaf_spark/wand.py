@@ -47,27 +47,49 @@ class TermPostings:
     max_score: float
 
 
+def _fetch_posting_rows(index: Index, qterms: list[str]) -> list[dict]:
+    """Read the ~|q| posting rows straight from parquet via pyarrow.
+
+    The serving path does NOT launch a Spark job: like Olaf's query opening
+    LMDB read-only (olaf_runner.c:34-39), it reads the index storage
+    directly. Postings are range-partitioned + sorted by term, so the isin
+    filter prunes via parquet row-group statistics. On a cluster this runs
+    wherever the server process lives; the Spark DataFrame path (scorer.py /
+    Index.postings) remains for batch jobs.
+    """
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds
+
+    dataset = ds.dataset(os.path.join(index.index_dir, "postings"), format="parquet")
+    tbl = dataset.to_table(filter=pc.field("term").isin(qterms))
+    return tbl.to_pylist()
+
+
 def load_term_postings(
-    spark: SparkSession, index: Index, query_text: str
+    spark: SparkSession | None, index: Index, query_text: str
 ) -> list[TermPostings]:
     """Fetch + decode posting rows for the query's distinct terms.
 
-    The isin filter pushes down to the parquet scan; postings are
-    range-partitioned and sorted by term, so this reads ~|q| row groups.
+    `spark` is accepted for API symmetry but unused — see _fetch_posting_rows.
     """
     cfg = index.cfg
     qterms = sorted(set(tokenize_py(query_text, cfg)))
     if not qterms:
         return []
-    rows = (
-        index.postings(spark)
-        .where(F.col("term").isin(qterms))
-        .collect()
-    )
+    rows = _fetch_posting_rows(index, qterms)
+    tombstones = index.tombstones()
     out = []
     for r in sorted(rows, key=lambda r: r["term"]):
         ids, tfs = unpack_postings(bytes(r["doc_ids_bin"]), bytes(r["tfs_bin"]))
         dls = varbyte_decode(bytes(r["doc_lens_bin"]))
+        if tombstones:
+            # merge-on-read delete; block metadata stays valid: removing docs
+            # can only lower a block's true max, so stored maxes remain upper
+            # bounds and block_lasts remain sound skip targets.
+            keep = ~np.isin(ids.astype(np.int64), np.fromiter(tombstones, dtype=np.int64))
+            ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
         w = idf_fn(index.n_docs, int(r["df"]))
         tfs_f = tfs.astype(np.float64)
         dls_f = dls.astype(np.float64)

@@ -93,6 +93,28 @@ def test_lineage_rows(spark, built):
     assert lin.where(lin.stage == "merge").count() == 1
 
 
+def test_delete_and_restore(spark, built, tmp_path):
+    """Delete removes matches, re-store restores them — the reference's
+    delete/re-store functional test (tests/olaf_functional_tests.zig:462-560),
+    here as merge-on-read tombstones."""
+    pages, oracle, index = built
+    import shutil
+
+    d = str(tmp_path / "del_ix")
+    shutil.copytree(index.index_dir, d)
+    ix = Index.load(d)
+
+    before = query_index(spark, ix, "needle97", k=5)
+    assert before and before[0][0] == 97
+    ix.delete_docs([97])
+    assert query_index(spark, ix, "needle97", k=5) == []
+    # other queries unaffected except doc 97 vanishing
+    got = [d_ for d_, _ in query_index(spark, ix, "w2 w17 w300", k=50)]
+    assert 97 not in got
+    ix.undelete_docs([97])
+    assert_identical(query_index(spark, ix, "needle97", k=5), before)
+
+
 def test_resume_skips_done_buckets_and_matches_clean(spark, built, tmp_path):
     """Kill-after-stage-1-subset restart: output equals a clean build."""
     pages, oracle, index = built
