@@ -8,12 +8,15 @@ single sorted LMDB store (reduce). Here the same shape, Spark-first:
   stage 1 (segments): tokenize -> (term, doc_id, tf, doc_len)
       -> bucket by doc_id RANGE  (so per-(term,bucket) runs are sorted AND
          disjoint — merging is concatenation, not a k-way merge)
-      -> groupBy(term, bucket).applyInPandas(pack)  [numpy delta+varbyte]
+      -> repartition(bucket, term) + sortWithinPartitions + mapInPandas
+         single-pass vectorized pack (numpy delta+varbyte, encode_grouped)
       -> parquet append, partitioned by bucket, one lineage row per bucket
 
-  stage 2 (merge): read segments -> groupBy(term).applyInPandas(merge runs
-      in bucket order, re-encode once, compute block-max WAND metadata)
-      -> global postings parquet, range-partitioned + sorted by term
+  stage 2 (merge): read segments -> repartition by term-hash shard (tb)
+      + sortWithinPartitions(term, bucket) + mapInPandas streaming merge
+      (concat runs in bucket order, re-encode once, block-max metadata)
+      -> global postings parquet, hive-partitioned by tb, term-sorted
+         within each shard (serving prunes to ~|q| directories)
 
 Skew (north_rule / SURVEY §7.5-2): a head term's postings arrive as many
 bucket-runs built in parallel — no single task ever holds more than one
@@ -68,6 +71,21 @@ POSTINGS_SCHEMA = (
 )
 
 
+def term_shard(term: str, n_shards: int) -> int:
+    """Pure-Python twin of term_shard_col (md5-derived, engine-portable)."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:4], 16) % n_shards
+
+
+def term_shard_col(term_col, n_shards: int):
+    """Shard id from the first 4 hex chars of md5(term) — identical in the
+    JVM and in Python, so the serving path can compute it without Spark."""
+    return (
+        F.conv(F.substring(F.md5(term_col), 1, 4), 16, 10).cast("long") % n_shards
+    ).cast("int")
+
+
 def _pack_stage1(pdf_iter) -> "pd.DataFrame":
     """One sorted partition of (term, bucket, doc_id, tf, doc_len) -> one
     packed segment row per (term, bucket) group, in ONE vectorized pass.
@@ -78,9 +96,10 @@ def _pack_stage1(pdf_iter) -> "pd.DataFrame":
     pandas frames — measured 4-7 minutes at 40k docs); this processes a
     whole partition with numpy group-boundary detection instead.
     """
-    pdf = pd.concat(list(pdf_iter), ignore_index=True)
-    if len(pdf) == 0:
+    batches = [p for p in pdf_iter if len(p)]
+    if not batches:
         return
+    pdf = pd.concat(batches, ignore_index=True)
     terms = pdf["term"].to_numpy()
     buckets = pdf["bucket"].to_numpy()
     new_group = np.empty(len(pdf), dtype=bool)
@@ -117,10 +136,16 @@ def _make_merge_fn(n_docs: int, avgdl: float, cfg: EngineConfig):
         the merge (Olaf's store_cached bulk load / sorted B+tree insert).
         Re-encoding across all terms is one vectorized encode_grouped call.
         """
-        pdf = pd.concat(list(pdf_iter), ignore_index=True)
-        if len(pdf) == 0:
+        batches = [p for p in pdf_iter if len(p)]
+        if not batches:
             return
+        pdf = pd.concat(batches, ignore_index=True)
         terms = pdf["term"].to_numpy()
+        # plain object arrays: .iloc in the hot loop costs ~10us per access,
+        # which at millions of segment rows turned the merge superlinear
+        id_bufs = pdf["doc_ids_bin"].to_numpy()
+        tf_bufs = pdf["tfs_bin"].to_numpy()
+        dl_bufs = pdf["doc_lens_bin"].to_numpy()
         row_new = np.empty(len(pdf), dtype=bool)
         row_new[0] = True
         row_new[1:] = terms[1:] != terms[:-1]
@@ -133,11 +158,10 @@ def _make_merge_fn(n_docs: int, avgdl: float, cfg: EngineConfig):
         pos = 0
         for s, e in zip(row_starts, row_ends):
             ids = np.concatenate(
-                [delta_decode(varbyte_decode(pdf["doc_ids_bin"].iloc[i]))
-                 for i in range(s, e)]
+                [delta_decode(varbyte_decode(id_bufs[i])) for i in range(s, e)]
             )
-            tfs = np.concatenate([varbyte_decode(pdf["tfs_bin"].iloc[i]) for i in range(s, e)])
-            dls = np.concatenate([varbyte_decode(pdf["doc_lens_bin"].iloc[i]) for i in range(s, e)])
+            tfs = np.concatenate([varbyte_decode(tf_bufs[i]) for i in range(s, e)])
+            dls = np.concatenate([varbyte_decode(dl_bufs[i]) for i in range(s, e)])
             w = idf(n_docs, int(ids.size))
             lasts, bmax = block_maxes(
                 ids, tfs.astype(np.float64), dls.astype(np.float64),
@@ -345,15 +369,19 @@ def build_index(
     t0 = time.time()
     merge_fn = _make_merge_fn(n_docs, avgdl, cfg)
     segments = spark.read.parquet(seg_dir)
-    # range-partition by term BEFORE the merge: output partitions come out
-    # globally term-sorted (file skipping at query time) and each term's
-    # bucket-runs are colocated for the streaming concat-merge.
+    # shard by term-hash (tb) BEFORE the merge: all bucket-runs of a term
+    # land in one shard for the streaming concat-merge, AND the output is
+    # hive-partitioned by tb so the serving path prunes to ~|q| directories
+    # without touching the rest of the index. Rows stay term-sorted within
+    # each shard, so parquet row-group stats prune further.
     postings = (
-        segments.repartitionByRange(cfg.n_segments, "term")
+        segments.withColumn("tb", term_shard_col(F.col("term"), cfg.n_segments))
+        .repartition(cfg.n_segments, "tb")
         .sortWithinPartitions("term", "bucket")
         .mapInPandas(merge_fn, POSTINGS_SCHEMA)
+        .withColumn("tb", term_shard_col(F.col("term"), cfg.n_segments))
     )
-    postings.write.mode("overwrite").parquet(post_dir)
+    postings.write.mode("overwrite").partitionBy("tb").parquet(post_dir)
     merge_wall = time.time() - t0
 
     post_stats = (

@@ -62,8 +62,17 @@ def _fetch_posting_rows(index: Index, qterms: list[str]) -> list[dict]:
     import pyarrow.compute as pc
     import pyarrow.dataset as ds
 
-    dataset = ds.dataset(os.path.join(index.index_dir, "postings"), format="parquet")
-    tbl = dataset.to_table(filter=pc.field("term").isin(qterms))
+    from olaf_spark.indexer import term_shard
+
+    dataset = ds.dataset(
+        os.path.join(index.index_dir, "postings"), format="parquet", partitioning="hive"
+    )
+    tbs = sorted({term_shard(t, index.cfg.n_segments) for t in qterms})
+    # hive partition pruning on tb -> reads ~|q| shard directories; row-group
+    # stats on the term-sorted shards prune further within each file
+    tbl = dataset.to_table(
+        filter=pc.field("tb").isin(tbs) & pc.field("term").isin(qterms)
+    )
     return tbl.to_pylist()
 
 

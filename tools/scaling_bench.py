@@ -23,7 +23,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_DOCS = int(os.environ.get("SCALING_N_DOCS", "120000"))
+N_DOCS = int(os.environ.get("SCALING_N_DOCS", "400000"))
+# FIXED across parallelism levels: on a real cluster, adding executors does
+# not change shuffle partitioning or bucket layout — the job is identical,
+# only the core count varies. 64 tasks = 8 waves at 8 cores, 2 at 32.
+N_PARTITIONS = 64
 N_QUERIES = 32
 K = 10
 
@@ -34,7 +38,7 @@ def child(cores: int, corpus_dir: str) -> None:
     from olaf_spark.session import get_spark, prewarm_python_workers
     from olaf_spark.wand import load_term_postings, wand_topk
 
-    spark = get_spark(cores, app_name=f"scaling_{cores}", shuffle_partitions=cores)
+    spark = get_spark(cores, app_name=f"scaling_{cores}", shuffle_partitions=N_PARTITIONS)
     docs = spark.read.parquet(corpus_dir)
     n_docs = docs.count()  # warms JVM + file index before timing
     # steady-state measurement: cluster executors keep reusable Python
@@ -43,9 +47,12 @@ def child(cores: int, corpus_dir: str) -> None:
 
     with tempfile.TemporaryDirectory() as tmp:
         t0 = time.perf_counter()
+        # n_buckets FIXED across parallelism levels — the bucket count
+        # changes the physical work (segment-run fan-out), and scaling
+        # efficiency must compare identical work
         index = build_index(
             spark, docs, os.path.join(tmp, "ix"), EngineConfig(),
-            n_buckets=max(16, cores), resume=False,
+            n_buckets=N_PARTITIONS, resume=False,
         )
         build_s = time.perf_counter() - t0
 
