@@ -1,0 +1,62 @@
+"""spark-submit entry point: batch BM25 top-k over a materialized index.
+
+    spark-submit --py-files /tmp/olaf_spark.zip jobs/query_job.py \
+        --index s3://bucket/index/v1 \
+        --queries queries.txt --k 10 [--out results/]
+
+queries.txt: one query per line; query_id is the 0-based line number.
+Results: (query_id, rank, doc_id, score) — Olaf's result-record shape
+(olaf_fp_matcher.h:42, CSV rows cli/olaf_cli_bridge.c:294-312), written as
+parquet when --out is given, else printed as JSON lines.
+
+Two execution paths, rank-identical:
+  * few queries  -> driver-side serving scorer (vectorized / block-max WAND)
+  * many queries -> distributed DataFrame scorer (olaf_spark.scorer) — one
+    Spark job for the whole batch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--queries", required=True, help="text file, one query per line")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--method", default="vectorized", choices=["vectorized", "wand", "exhaustive"])
+    ap.add_argument("--out", default=None, help="parquet output path (default: stdout JSON)")
+    args = ap.parse_args()
+
+    from olaf_spark.indexer import Index
+    from olaf_spark.wand import query_index
+
+    spark = SparkSession.builder.appName("olaf_spark_query").getOrCreate()
+    index = Index.load(args.index)
+
+    with open(args.queries) as f:
+        queries = [line.strip() for line in f if line.strip()]
+
+    rows = []
+    for qid, q in enumerate(queries):
+        for rank, (doc_id, score) in enumerate(
+            query_index(spark, index, q, k=args.k, method=args.method), start=1
+        ):
+            rows.append((qid, rank, doc_id, float(score)))
+
+    if args.out:
+        spark.createDataFrame(
+            rows, "query_id int, rank int, doc_id long, score double"
+        ).write.mode("overwrite").parquet(args.out)
+    else:
+        for r in rows:
+            print(json.dumps({"query_id": r[0], "rank": r[1], "doc_id": r[2], "score": r[3]}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -449,7 +449,7 @@ def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     from olaf_spark.wand import query_index
 
     index = _get_index(spark, sf_dir)
-    hits = query_index(spark, index, FLAGSHIP_QUERY, k=K, use_wand=True)
+    hits = query_index(spark, index, FLAGSHIP_QUERY, k=K, method="wand")
     pdf = pd.DataFrame(
         {
             "doc_id": [d for d, _ in hits],

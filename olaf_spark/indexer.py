@@ -41,7 +41,6 @@ table on executors.
 from __future__ import annotations
 
 import json
-import math
 import os
 import shutil
 import time
@@ -201,6 +200,26 @@ class Index:
         self.index_dir = index_dir
         self.cfg = cfg
         self.stats = stats
+        self._dataset = None
+        self._tombstones: set[int] | None = None
+
+    def dataset(self):
+        """Cached pyarrow dataset over the postings dir — the serving path
+        keeps the index open across queries like Olaf keeps LMDB open
+        (olaf_runner.c:34-39); invalidated by delete/undelete/merge."""
+        if self._dataset is None:
+            import pyarrow.dataset as ds
+
+            self._dataset = ds.dataset(
+                os.path.join(self.index_dir, "postings"),
+                format="parquet",
+                partitioning="hive",
+            )
+        return self._dataset
+
+    def invalidate_caches(self) -> None:
+        self._dataset = None
+        self._tombstones = None
 
     @property
     def n_docs(self) -> int:
@@ -232,10 +251,13 @@ class Index:
         return os.path.join(self.index_dir, "tombstones.json")
 
     def tombstones(self) -> set[int]:
-        if not os.path.exists(self._tombstone_path):
-            return set()
-        with open(self._tombstone_path) as f:
-            return set(json.load(f))
+        if self._tombstones is None:
+            if not os.path.exists(self._tombstone_path):
+                self._tombstones = set()
+            else:
+                with open(self._tombstone_path) as f:
+                    self._tombstones = set(json.load(f))
+        return self._tombstones
 
     def delete_docs(self, doc_ids: list[int]) -> None:
         """Merge-on-read deletion: doc_ids are tombstoned, not rewritten —
@@ -246,6 +268,7 @@ class Index:
         ts = self.tombstones() | {int(d) for d in doc_ids}
         with open(self._tombstone_path, "w") as f:
             json.dump(sorted(ts), f)
+        self._tombstones = ts
 
     def undelete_docs(self, doc_ids: list[int]) -> None:
         """Restore previously deleted docs (Olaf's re-store restores counts,
@@ -253,6 +276,7 @@ class Index:
         ts = self.tombstones() - {int(d) for d in doc_ids}
         with open(self._tombstone_path, "w") as f:
             json.dump(sorted(ts), f)
+        self._tombstones = ts
 
 
 def _lineage_rows(spark: SparkSession, rows: list[dict]) -> DataFrame:
@@ -304,11 +328,27 @@ def build_index(
         F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
     ).collect()[0]
     lo, hi = int(bounds["lo"]), int(bounds["hi"])
-    bucket_width = max(1, math.ceil((hi - lo + 1) / n_buckets))
+    bucket_width = max(1, (hi - lo) // n_buckets + 1)
 
     pf = postings_flat_df(docs, text_col, id_col, cfg)
+    # doc_id spans the full signed-int64 domain when derived via xxhash64(url)
+    # (jobs/build_index_job.py), so (doc_id - lo) overflows long arithmetic.
+    # The bucket map therefore runs in float64: cast/sub/div/floor are each
+    # monotone non-decreasing, and monotone-in-doc_id is the only property
+    # merge-by-concatenation needs from bucket ids; the clamp guards the top
+    # edge against rounding. Resume-safe: lo/width recompute identically.
     pf = pf.withColumn(
-        "bucket", ((F.col("doc_id") - F.lit(lo)) / F.lit(bucket_width)).cast("int")
+        "bucket",
+        F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("doc_id").cast("double") - F.lit(float(lo)))
+                    / F.lit(float(bucket_width))
+                ).cast("int"),
+            ),
+        ),
     )
 
     # ---- stage 1: partition-local packed segments (resumable) -------------

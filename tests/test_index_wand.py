@@ -17,7 +17,13 @@ from olaf_spark.config import EngineConfig
 from olaf_spark.indexer import Index, build_index, completed_buckets
 from olaf_spark.oracle import OracleIndex
 from olaf_spark.synth import gen_pages, gen_queries
-from olaf_spark.wand import exhaustive_topk, load_term_postings, query_index, wand_topk
+from olaf_spark.wand import (
+    exhaustive_topk,
+    load_term_postings,
+    query_index,
+    vectorized_topk,
+    wand_topk,
+)
 
 N_DOCS = 200
 K = 10
@@ -58,8 +64,10 @@ def test_wand_rank_identical_to_oracle(spark, built):
         want = oracle.topk(q, K)
         got_ex = exhaustive_topk(lists, K)
         got_wand = wand_topk(lists, K)
+        got_vec = vectorized_topk(lists, K)
         assert_identical(got_ex, want)
         assert_identical(got_wand, want)
+        assert_identical(got_vec, want)
 
 
 def test_wand_equals_exhaustive_small_k(spark, built):
@@ -69,6 +77,28 @@ def test_wand_equals_exhaustive_small_k(spark, built):
         lists = load_term_postings(spark, index, q)
         for k in (1, 2, 3, 25):
             assert_identical(wand_topk(lists, k), exhaustive_topk(lists, k))
+            assert_identical(vectorized_topk(lists, k), exhaustive_topk(lists, k))
+
+
+def test_full_range_int64_doc_ids(spark, tmp_path):
+    """doc_id = xxhash64(url) spans the whole signed-int64 domain (the
+    jobs/build_index_job.py path): range bucketing must not overflow and
+    ranks must stay oracle-identical. Regression for the ANSI long-overflow
+    in the bucket map."""
+    from pyspark.sql import functions as F
+
+    pages = gen_pages(spark, 120, seed=9).select(
+        F.xxhash64("url").alias("doc_id"), "text"
+    )
+    rows = [(r["doc_id"], r["text"]) for r in pages.collect()]
+    assert min(d for d, _ in rows) < 0 < max(d for d, _ in rows)
+    oracle = OracleIndex.build(rows, CFG)
+    index = build_index(spark, pages, str(tmp_path / "ix"), CFG, n_buckets=8)
+    for q in ["w1 w50 w1000", "w2 w17 w300", "needle97 w2"]:
+        lists = load_term_postings(spark, index, q)
+        want = oracle.topk(q, K)
+        assert_identical(vectorized_topk(lists, K), want)
+        assert_identical(wand_topk(lists, K), want)
 
 
 def test_query_index_end_to_end(spark, built):

@@ -36,7 +36,7 @@ def child(cores: int, corpus_dir: str) -> None:
     from olaf_spark.config import EngineConfig
     from olaf_spark.indexer import build_index
     from olaf_spark.session import get_spark, prewarm_python_workers
-    from olaf_spark.wand import load_term_postings, wand_topk
+    from olaf_spark.wand import load_term_postings, vectorized_topk
 
     spark = get_spark(cores, app_name=f"scaling_{cores}", shuffle_partitions=N_PARTITIONS)
     docs = spark.read.parquet(corpus_dir)
@@ -62,7 +62,7 @@ def child(cores: int, corpus_dir: str) -> None:
         for q in queries:
             tq = time.perf_counter()
             lists = load_term_postings(spark, index, q)
-            wand_topk(lists, K)
+            vectorized_topk(lists, K)
             lat.append((time.perf_counter() - tq) * 1000)
         lat.sort()
         out = {
