@@ -443,6 +443,39 @@ def _get_index(spark: SparkSession, sf_dir: str):
     return _INDEX_CACHE[sf_dir]
 
 
+_GROUP_CACHE: dict[str, object] = {}
+
+
+def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-append path: index half the corpus, append the other half
+    as a delta, query the group merged-on-read. The oracle is full-corpus
+    BM25 SQL — append must be indistinguishable from a clean rebuild
+    (olaf_spark/incremental.py; Olaf live-store append, olaf_db.c:309-311)."""
+    import pandas as pd
+
+    from olaf_spark.incremental import IndexGroup, append_index
+    from olaf_spark.indexer import build_index
+
+    if sf_dir not in _GROUP_CACHE:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="entry_inc_") + "/ix"
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        build_index(spark, docs.where("doc_id % 2 = 0"), d, CFG, n_buckets=4)
+        append_index(spark, docs.where("doc_id % 2 = 1"), d, n_buckets=4)
+        _GROUP_CACHE[sf_dir] = IndexGroup.load(d)
+    group = _GROUP_CACHE[sf_dir]
+    hits = group.topk(FLAGSHIP_QUERY, K)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in hits],
+            "score": [round(s, 4) for _, s in hits],
+            "rank": list(range(1, len(hits) + 1)),
+        }
+    )
+    return spark.createDataFrame(pdf, "doc_id long, score double, rank long")
+
+
 def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
@@ -759,6 +792,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_by_nation": q_orders_by_nation,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "bm25_topk_wand": q_bm25_topk_wand,
+    "bm25_incremental": q_bm25_incremental,
     "extract_roundtrip": q_extract_roundtrip,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_signatures": q_minhash_signatures,
@@ -791,6 +825,7 @@ ORACLE_SQL: dict[str, str] = {
     "orders_by_nation": SQL_ORDERS_BY_NATION,
     "embedding_cosine_topk": SQL_EMBEDDING_COSINE_TOPK,
     "bm25_topk_wand": SQL_BM25_TOPK,
+    "bm25_incremental": SQL_BM25_TOPK,
     "extract_roundtrip": SQL_EXTRACT_ROUNDTRIP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,

@@ -1,0 +1,332 @@
+"""Incremental index append: delta indexes, merged-on-read query, compaction.
+
+Reference analogue: Olaf's `store` appends fingerprints to the LIVE LMDB
+B+tree — readers see each committed txn (`src/olaf_db.c:309-311,499-514`),
+so the index grows without a rebuild. A sorted-run store can't append
+in place at Spark scale; the scale-correct re-expression is the segment
+model (same move Olaf itself makes with cache/store_cached, README.md:260-272):
+
+  append_index(new_docs)  -> builds a self-contained DELTA index under
+                             <base>/deltas/delta_NNNN (snapshot-style commit:
+                             the delta directory appears atomically-enough via
+                             its stats.json written last by build_index)
+  IndexGroup              -> main + deltas queried together, merged on read:
+                             per query term, posting rows from every part are
+                             decoded and scored with GROUP-GLOBAL stats
+                             (N = sum n_docs, avgdl = sum total_tokens / N,
+                             df = sum per-part df) — so results are
+                             rank- AND score-identical to a clean rebuild
+                             over the union corpus (tests/test_incremental.py)
+  compact_index           -> one Spark job folds main + deltas into a single
+                             new index (k-way merge per term, block-max
+                             metadata recomputed with group stats); tombstoned
+                             postings are physically dropped
+
+Scoring semantics under deletes match the base engine (wand.py): tombstones
+filter postings out of results but df/N/avgdl stay as stored at append time —
+deleting a doc never rescales other docs' scores. Compaction preserves that:
+it carries the group's stored stats forward, so post-compaction ranks equal
+pre-compaction ranks exactly.
+
+Precondition: doc_ids are globally unique across main + deltas (they are by
+construction when doc_id = xxhash64(url) and urls are unique). Appending an
+existing doc_id is the one thing this module does not merge (Olaf re-store
+overwrites metadata; here you delete + append instead).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olaf_spark.codec import block_maxes, varbyte_decode, unpack_postings
+from olaf_spark.config import EngineConfig
+from olaf_spark.indexer import (
+    POSTINGS_SCHEMA,
+    Index,
+    build_index,
+    term_shard_col,
+)
+from olaf_spark.scorer import idf as idf_fn
+from olaf_spark.tokenize import tokenize_py
+from olaf_spark.wand import TermPostings, vectorized_topk
+
+_DELTAS = "deltas"
+
+
+def _delta_dirs(base_dir: str) -> list[str]:
+    root = os.path.join(base_dir, _DELTAS)
+    if not os.path.isdir(root):
+        return []
+    return [
+        os.path.join(root, d)
+        for d in sorted(os.listdir(root))
+        if os.path.exists(os.path.join(root, d, "stats.json"))
+    ]
+
+
+def append_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    base_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> Index:
+    """Append new documents to an existing index as a delta segment-index.
+
+    The delta is built with the BASE index's config — the config-freeze
+    invariant (olaf_config.h:46-50) spans the whole group.
+    """
+    base = Index.load(base_dir)
+    n = len(_delta_dirs(base_dir))
+    delta_dir = os.path.join(base_dir, _DELTAS, f"delta_{n:04d}")
+    return build_index(
+        spark, new_docs, delta_dir, base.cfg,
+        text_col=text_col, id_col=id_col, n_buckets=n_buckets,
+    )
+
+
+class IndexGroup:
+    """main index + its deltas, queried as one logical index."""
+
+    def __init__(self, parts: list[Index]):
+        assert parts, "empty index group"
+        self.parts = parts
+        self.cfg = parts[0].cfg
+        for p in parts[1:]:
+            self.cfg.check_compatible(p.cfg)
+        self.n_docs = sum(p.n_docs for p in parts)
+        total_tokens = sum(p.stats["total_tokens"] for p in parts)
+        # exact int/int division — identical float to a clean rebuild's avgdl
+        self.avgdl = total_tokens / self.n_docs if self.n_docs else 0.0
+
+    @classmethod
+    def load(cls, base_dir: str, query_cfg: EngineConfig | None = None) -> "IndexGroup":
+        parts = [Index.load(base_dir, query_cfg)]
+        parts += [Index.load(d) for d in _delta_dirs(base_dir)]
+        return cls(parts)
+
+    def tombstones(self) -> set[int]:
+        out: set[int] = set()
+        for p in self.parts:
+            out |= p.tombstones()
+        return out
+
+    def delete_docs(self, doc_ids: list[int]) -> None:
+        # a doc lives in exactly one part but WHICH is not tracked; the
+        # group tombstones on the main part and applies the union at read
+        self.parts[0].delete_docs(doc_ids)
+
+    def load_term_postings(self, query_text: str) -> list[TermPostings]:
+        """Merged-on-read decode: per term, concatenate every part's postings
+        and score with group-global (N, avgdl, df).
+
+        Mirrors wand.load_term_postings but with cross-part stats — kept
+        separate because the single-index path precomputes block-max WAND
+        metadata that is only valid for its own stats; the group path serves
+        through the exact vectorized scorer instead (block maxes become
+        valid again after compact_index).
+        """
+        import pyarrow.compute as pc
+
+        from olaf_spark.indexer import term_shard
+
+        cfg = self.cfg
+        qterms = sorted(set(tokenize_py(query_text, cfg)))
+        if not qterms:
+            return []
+        tbs = sorted({term_shard(t, cfg.n_segments) for t in qterms})
+        flt = pc.field("tb").isin(tbs) & pc.field("term").isin(qterms)
+        per_term: dict[str, list[dict]] = {}
+        for p in self.parts:
+            for r in p.dataset().to_table(filter=flt).to_pylist():
+                per_term.setdefault(r["term"], []).append(r)
+
+        ts = self.tombstones()
+        ts_arr = np.fromiter(ts, dtype=np.int64) if ts else None
+        out: list[TermPostings] = []
+        for term in sorted(per_term):
+            rows = per_term[term]
+            df_total = sum(int(r["df"]) for r in rows)
+            w = idf_fn(self.n_docs, df_total)
+            ids_l, tfs_l, dls_l = [], [], []
+            for r in rows:
+                ids, tfs = unpack_postings(bytes(r["doc_ids_bin"]), bytes(r["tfs_bin"]))
+                dls = varbyte_decode(bytes(r["doc_lens_bin"]))
+                ids_l.append(ids.astype(np.int64))
+                tfs_l.append(tfs)
+                dls_l.append(dls)
+            ids = np.concatenate(ids_l)
+            tfs_f = np.concatenate(tfs_l).astype(np.float64)
+            dls_f = np.concatenate(dls_l).astype(np.float64)
+            if ts_arr is not None:
+                keep = ~np.isin(ids, ts_arr)
+                ids, tfs_f, dls_f = ids[keep], tfs_f[keep], dls_f[keep]
+            scores = w * (
+                tfs_f * (cfg.k1 + 1.0)
+                / (tfs_f + cfg.k1 * (1.0 - cfg.b + cfg.b * dls_f / self.avgdl))
+            )
+            out.append(
+                TermPostings(
+                    term=term, idf=w, doc_ids=ids, scores=scores,
+                    block_lasts=np.empty(0, dtype=np.int64),
+                    block_maxes=np.empty(0, dtype=np.float64),
+                    max_score=float(scores.max()) if scores.size else 0.0,
+                )
+            )
+        return out
+
+    def topk(self, query_text: str, k: int = 10) -> list[tuple[int, float]]:
+        return vectorized_topk(self.load_term_postings(query_text), k)
+
+
+def _make_compact_fn(n_docs: int, avgdl: float, cfg: EngineConfig, tombstones: set[int]):
+    k1, b, block_size = cfg.k1, cfg.b, cfg.block_size
+    ts_arr = np.fromiter(tombstones, dtype=np.int64) if tombstones else None
+
+    def _compact_stream(pdf_iter):
+        """One term-sorted shard of posting rows from ALL parts -> one merged
+        row per term. Parts overlap in doc_id range, so unlike the build
+        merge (bucket-disjoint concat) this is a true k-way merge — decode,
+        argsort by doc_id, re-encode."""
+        import pandas as pd
+
+        from olaf_spark.codec import encode_grouped
+
+        batches = [p for p in pdf_iter if len(p)]
+        if not batches:
+            return
+        pdf = pd.concat(batches, ignore_index=True)
+        terms = pdf["term"].to_numpy()
+        id_bufs = pdf["doc_ids_bin"].to_numpy()
+        tf_bufs = pdf["tfs_bin"].to_numpy()
+        dl_bufs = pdf["doc_lens_bin"].to_numpy()
+        row_new = np.empty(len(pdf), dtype=bool)
+        row_new[0] = True
+        row_new[1:] = terms[1:] != terms[:-1]
+        row_starts = np.flatnonzero(row_new)
+        row_ends = np.append(row_starts[1:], len(pdf))
+
+        out_terms, dfs, group_starts = [], [], []
+        all_ids, all_tfs, all_dls = [], [], []
+        blk_lasts, blk_maxes = [], []
+        pos = 0
+        for s, e in zip(row_starts, row_ends):
+            ids_p, tfs_p, dls_p = [], [], []
+            for i in range(s, e):
+                ids_i, tfs_i = unpack_postings(bytes(id_bufs[i]), bytes(tf_bufs[i]))
+                ids_p.append(ids_i.astype(np.int64))
+                tfs_p.append(tfs_i)
+                dls_p.append(varbyte_decode(bytes(dl_bufs[i])))
+            ids = np.concatenate(ids_p)
+            tfs = np.concatenate(tfs_p)
+            dls = np.concatenate(dls_p)
+            order = np.argsort(ids, kind="stable")
+            ids, tfs, dls = ids[order], tfs[order], dls[order]
+            if ts_arr is not None:
+                keep = ~np.isin(ids, ts_arr)
+                ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+            if ids.size == 0:
+                continue
+            # df/N/avgdl carried from the group's stored stats (NOT shrunk by
+            # tombstones) so post-compaction scores equal pre-compaction ones
+            df = int(sum(int(x.size) for x in ids_p))
+            w = idf_fn(n_docs, df)
+            lasts, bmax = block_maxes(
+                ids.astype(np.uint64), tfs.astype(np.float64), dls.astype(np.float64),
+                w, k1, b, avgdl, block_size,
+            )
+            out_terms.append(terms[s])
+            dfs.append(df)
+            group_starts.append(pos)
+            pos += ids.size
+            all_ids.append(ids.astype(np.uint64))
+            all_tfs.append(tfs)
+            all_dls.append(dls)
+            blk_lasts.append(lasts.tolist())
+            blk_maxes.append(bmax.tolist())
+
+        if not out_terms:
+            return
+        gs = np.asarray(group_starts, dtype=np.int64)
+        yield pd.DataFrame(
+            {
+                "term": out_terms,
+                "df": np.asarray(dfs, dtype=np.int64),
+                "doc_ids_bin": encode_grouped(np.concatenate(all_ids), gs, delta=True),
+                "tfs_bin": encode_grouped(np.concatenate(all_tfs), gs, delta=False),
+                "doc_lens_bin": encode_grouped(np.concatenate(all_dls), gs, delta=False),
+                "block_lasts": blk_lasts,
+                "block_maxes": blk_maxes,
+            }
+        )
+
+    return _compact_stream
+
+
+def compact_index(spark: SparkSession, base_dir: str, out_dir: str) -> Index:
+    """Fold main + deltas (+ tombstones) into one fresh single index.
+
+    One distributed pass: union every part's postings, shuffle by term shard,
+    k-way merge per term, recompute block-max metadata under group stats.
+    After compaction the WAND serving path is valid again for the whole
+    corpus. The group's scoring statistics are carried forward verbatim, so
+    ranks and scores are unchanged by compaction.
+    """
+    import json
+    import time
+
+    group = IndexGroup.load(base_dir)
+    cfg = group.cfg
+    t0 = time.time()
+    os.makedirs(out_dir, exist_ok=True)
+    cfg.save(out_dir)
+
+    dfs = [p.postings(spark) for p in group.parts]
+    all_rows = dfs[0]
+    for d in dfs[1:]:
+        all_rows = all_rows.unionByName(d)
+    compact_fn = _make_compact_fn(group.n_docs, group.avgdl, cfg, group.tombstones())
+    # range-partitioned on (tb, term) for the same balance/straggler reasons
+    # as the build merge (indexer.py stage 2); equal keys never split ranges
+    merged = (
+        all_rows.withColumn("tb", term_shard_col(F.col("term"), cfg.n_segments))
+        .repartitionByRange(max(cfg.n_segments, 128), "tb", "term")
+        .sortWithinPartitions("term")
+        .mapInPandas(compact_fn, POSTINGS_SCHEMA)
+        .withColumn("tb", term_shard_col(F.col("term"), cfg.n_segments))
+    )
+    post_dir = os.path.join(out_dir, "postings")
+    merged.write.mode("overwrite").partitionBy("tb").parquet(post_dir)
+
+    post_stats = (
+        spark.read.parquet(post_dir)
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("df").alias("n_postings"),
+            F.sum(
+                F.length("doc_ids_bin") + F.length("tfs_bin") + F.length("doc_lens_bin")
+            ).alias("bytes"),
+        )
+        .collect()[0]
+    )
+    stats = dict(
+        n_docs=group.n_docs,
+        avgdl=group.avgdl,
+        total_tokens=sum(p.stats["total_tokens"] for p in group.parts),
+        n_terms=int(post_stats["n_terms"]),
+        n_postings=int(post_stats["n_postings"] or 0),
+        packed_bytes=int(post_stats["bytes"] or 0),
+        n_buckets=max(p.stats.get("n_buckets", 1) for p in group.parts),
+        bucket_width=0,  # compacted postings are term-merged; buckets retired
+        compacted_from=len(group.parts),
+        build_wall_s=round(time.time() - t0, 3),
+    )
+    with open(os.path.join(out_dir, "stats.json"), "w") as f:
+        json.dump(stats, f)
+    return Index(out_dir, cfg, stats)

@@ -57,7 +57,7 @@ from olaf_spark.codec import (
     varbyte_decode,
 )
 from olaf_spark.config import EngineConfig
-from olaf_spark.scorer import idf, postings_flat_df
+from olaf_spark.scorer import idf
 
 SEGMENT_SCHEMA = (
     "term string, bucket int, n_docs long, sum_tf long, "
@@ -85,9 +85,36 @@ def term_shard_col(term_col, n_shards: int):
     ).cast("int")
 
 
+def token_occurrences_df(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cfg: EngineConfig | None = None,
+) -> DataFrame:
+    """(doc_id, doc_len, term) — one row per token OCCURRENCE, zero shuffle.
+
+    doc_len = size(tokens) is projected before the explode (one tokenize
+    pass), and tf is NOT aggregated here: counting duplicates of
+    (term, bucket, doc_id) happens inside _pack_stage1 on rows the bucket
+    shuffle already sorted. The old pipeline shuffled ~same data three
+    times (groupBy tf, window doc_len, bucket repartition); this shape
+    makes the bucket repartition the build's ONLY wide exchange.
+    """
+    from olaf_spark.tokenize import tokens_array
+
+    cfg = cfg or EngineConfig()
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_array(F.col(text_col), cfg).alias("toks")
+    )
+    return base.select(
+        "doc_id", F.size("toks").alias("doc_len"), F.explode("toks").alias("term")
+    )
+
+
 def _pack_stage1(pdf_iter) -> "pd.DataFrame":
-    """One sorted partition of (term, bucket, doc_id, tf, doc_len) -> one
-    packed segment row per (term, bucket) group, in ONE vectorized pass.
+    """One sorted partition of occurrence rows (term, bucket, doc_id,
+    doc_len) -> one packed segment row per (term, bucket) group, in ONE
+    vectorized pass: tf = run length of equal (term, bucket, doc_id).
 
     Runs via mapInPandas over repartition(bucket, term) +
     sortWithinPartitions(bucket, term, doc_id). A groupBy.applyInPandas
@@ -99,28 +126,41 @@ def _pack_stage1(pdf_iter) -> "pd.DataFrame":
     if not batches:
         return
     pdf = pd.concat(batches, ignore_index=True)
+    n = len(pdf)
     terms = pdf["term"].to_numpy()
     buckets = pdf["bucket"].to_numpy()
-    new_group = np.empty(len(pdf), dtype=bool)
-    new_group[0] = True
-    new_group[1:] = (terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1])
-    starts = np.flatnonzero(new_group)
-    counts = np.diff(np.append(starts, len(pdf)))
+    ids_all = pdf["doc_id"].to_numpy(dtype=np.int64)
+    dls_all = pdf["doc_len"].to_numpy(dtype=np.uint64)
 
-    ids = pdf["doc_id"].to_numpy(dtype=np.uint64)
-    tfs = pdf["tf"].to_numpy(dtype=np.uint64)
-    dls = pdf["doc_len"].to_numpy(dtype=np.uint64)
+    g_new = np.empty(n, dtype=bool)
+    g_new[0] = True
+    g_new[1:] = (terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1])
+    d_new = g_new.copy()
+    d_new[1:] |= ids_all[1:] != ids_all[:-1]
+
+    d_starts = np.flatnonzero(d_new)                     # one per (g, doc) run
+    tfs = np.diff(np.append(d_starts, n)).astype(np.uint64)
+    ids = ids_all[d_starts].astype(np.uint64)
+    dls = dls_all[d_starts]
+
+    g_starts_rows = np.flatnonzero(g_new)                # in occurrence space
+    # every group start IS a doc-run start (g_new implies d_new), so this
+    # searchsorted lands exactly on the runs' indices
+    g_starts = np.searchsorted(d_starts, g_starts_rows)
+    n_docs = np.diff(np.append(g_starts, d_starts.size))
+    # occurrences per group == sum of tfs per group (feeds global avgdl from
+    # a cheap segment scan instead of a second corpus tokenize pass)
+    sum_tf = np.diff(np.append(g_starts_rows, n))
+
     yield pd.DataFrame(
         {
-            "term": terms[starts],
-            "bucket": buckets[starts].astype("int32"),
-            "n_docs": counts.astype("int64"),
-            # per-segment token totals: global avgdl later comes from a cheap
-            # scan of segment rows instead of a second corpus tokenize pass
-            "sum_tf": np.add.reduceat(tfs.astype(np.int64), starts),
-            "doc_ids_bin": encode_grouped(ids, starts, delta=True),
-            "tfs_bin": encode_grouped(tfs, starts, delta=False),
-            "doc_lens_bin": encode_grouped(dls, starts, delta=False),
+            "term": terms[g_starts_rows],
+            "bucket": buckets[g_starts_rows].astype("int32"),
+            "n_docs": n_docs.astype("int64"),
+            "sum_tf": sum_tf.astype("int64"),
+            "doc_ids_bin": encode_grouped(ids, g_starts, delta=True),
+            "tfs_bin": encode_grouped(tfs, g_starts, delta=False),
+            "doc_lens_bin": encode_grouped(dls, g_starts, delta=False),
         }
     )
 
@@ -279,25 +319,51 @@ class Index:
         self._tombstones = ts
 
 
-def _lineage_rows(spark: SparkSession, rows: list[dict]) -> DataFrame:
-    return spark.createDataFrame(
-        pd.DataFrame(rows),
-        "stage string, partition_id long, input_rows long, output_rows long, "
-        "wall_s double, rows_per_s double, bytes_out long, status string, ts double",
+_LINEAGE_SCHEMA_PD = {
+    "stage": "string", "partition_id": "int64", "input_rows": "int64",
+    "output_rows": "int64", "wall_s": "float64", "rows_per_s": "float64",
+    "bytes_out": "int64", "status": "string", "ts": "float64",
+}
+
+
+def _write_lineage(rows: list[dict], lin_dir: str) -> None:
+    """Append lineage rows as a parquet file written DRIVER-SIDE (pyarrow).
+
+    Lineage is O(n_buckets) rows of metadata — the manifest-file pattern
+    (Iceberg writes manifests from the committer, not as a distributed job).
+    Spark-jobs-for-64-rows added ~2 s of fixed cost per build; still read
+    back through spark.read.parquet / Index.lineage unchanged.
+    """
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(lin_dir, exist_ok=True)
+    pdf = pd.DataFrame(rows).astype(_LINEAGE_SCHEMA_PD)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        os.path.join(lin_dir, f"lineage-{uuid.uuid4().hex}.parquet"),
     )
 
 
 def completed_buckets(spark: SparkSession, index_dir: str) -> set[int]:
+    """Read lineage driver-side (tiny metadata; no Spark job on resume)."""
+    import pyarrow.dataset as ds
+
     lin_dir = os.path.join(index_dir, "lineage")
     if not os.path.exists(lin_dir):
         return set()
-    rows = (
-        spark.read.parquet(lin_dir)
-        .where((F.col("stage") == "segments") & (F.col("status") == "done"))
-        .select("partition_id")
-        .collect()
+    tbl = ds.dataset(lin_dir, format="parquet").to_table(
+        columns=["stage", "status", "partition_id"]
     )
-    return {int(r["partition_id"]) for r in rows}
+    return {
+        int(p)
+        for s, st, p in zip(
+            tbl["stage"].to_pylist(), tbl["status"].to_pylist(), tbl["partition_id"].to_pylist()
+        )
+        if s == "segments" and st == "done"
+    }
 
 
 def build_index(
@@ -309,6 +375,7 @@ def build_index(
     id_col: str = "doc_id",
     n_buckets: int = 16,
     resume: bool = False,
+    n_merge_tasks: int | None = None,
 ) -> Index:
     """Build (or resume) a materialized index at index_dir."""
     cfg = cfg or EngineConfig()
@@ -322,15 +389,17 @@ def build_index(
     post_dir = os.path.join(index_dir, "postings")
     lin_dir = os.path.join(index_dir, "lineage")
 
-    # ---- corpus stats (one metadata count + one light agg) ----------------
-    n_docs = docs.count()
+    # ---- corpus stats: ONE scan for count + id bounds ----------------------
     bounds = docs.agg(
-        F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.col(id_col)).alias("lo"),
+        F.max(F.col(id_col)).alias("hi"),
     ).collect()[0]
+    n_docs = int(bounds["n"])
     lo, hi = int(bounds["lo"]), int(bounds["hi"])
     bucket_width = max(1, (hi - lo) // n_buckets + 1)
 
-    pf = postings_flat_df(docs, text_col, id_col, cfg)
+    pf = token_occurrences_df(docs, text_col, id_col, cfg)
     # doc_id spans the full signed-int64 domain when derived via xxhash64(url)
     # (jobs/build_index_job.py), so (doc_id - lo) overflows long arithmetic.
     # The bucket map therefore runs in float64: cast/sub/div/floor are each
@@ -365,13 +434,15 @@ def build_index(
     seg.write.mode("append").partitionBy("bucket").parquet(seg_dir)
     seg_wall = time.time() - t0
 
-    # lineage: one row per bucket actually built this run
+    # lineage + global totals from ONE scan of the (packed, ~10x smaller)
+    # segment files — no separate total_tf job, no second corpus pass
     seg_stats = (
         spark.read.parquet(seg_dir)
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n_terms"),
             F.sum("n_docs").alias("n_postings"),
+            F.sum("sum_tf").alias("sum_tf"),
             F.sum(F.length("doc_ids_bin") + F.length("tfs_bin") + F.length("doc_lens_bin")).alias("bytes_out"),
         )
         .collect()
@@ -390,33 +461,33 @@ def build_index(
             )
         )
     if lineage:
-        _lineage_rows(spark, lineage).write.mode("append").parquet(lin_dir)
+        _write_lineage(lineage, lin_dir)
 
-    # ---- global stats (from segments, so resume sees the full corpus and
-    # no second tokenize pass is needed) ------------------------------------
-    total_tf_row = (
-        spark.read.parquet(seg_dir)
-        .agg(
-            F.sum("n_docs").alias("n_postings"),
-            F.sum("sum_tf").alias("total_tf"),
-        )
-        .collect()[0]
-    )
-    total_tf = int(total_tf_row["total_tf"] or 0)
+    # ---- global stats (derived from the same seg_stats rows: resume sees
+    # the full corpus and no second tokenize pass is needed) -----------------
+    total_tf = sum(int(r["sum_tf"] or 0) for r in seg_stats)
+    total_postings_in = sum(int(r["n_postings"] or 0) for r in seg_stats)
     avgdl = total_tf / n_docs if n_docs else 0.0
 
     # ---- stage 2: merge bucket-runs into global postings -------------------
     t0 = time.time()
     merge_fn = _make_merge_fn(n_docs, avgdl, cfg)
     segments = spark.read.parquet(seg_dir)
-    # shard by term-hash (tb) BEFORE the merge: all bucket-runs of a term
-    # land in one shard for the streaming concat-merge, AND the output is
-    # hive-partitioned by tb so the serving path prunes to ~|q| directories
-    # without touching the rest of the index. Rows stay term-sorted within
-    # each shard, so parquet row-group stats prune further.
+    # Shard by term-hash (tb): all bucket-runs of a term land together for
+    # the streaming concat-merge, and the output is hive-partitioned by tb
+    # so the serving path prunes to ~|q| directories. The shuffle itself is
+    # RANGE-partitioned on (tb, term) into n_merge_tasks > n_segments:
+    #   * hash-repartition(32, "tb") pigeonholes 32 shard values into 32
+    #     partitions (~1/e empty, others stacked 2-3x) and lets head-term
+    #     shards straggle — measured merge scaling was 1.4x from 4->16 cores;
+    #   * range partitioning keeps every (tb, term) key in exactly ONE
+    #     partition (equal keys can't split across range bounds), balances
+    #     by sampled row count, and each tb dir just receives a handful of
+    #     term-sorted files — row-group stats still prune within them.
+    n_merge_tasks = max(cfg.n_segments, n_merge_tasks or 0, 128)
     postings = (
         segments.withColumn("tb", term_shard_col(F.col("term"), cfg.n_segments))
-        .repartition(cfg.n_segments, "tb")
+        .repartitionByRange(n_merge_tasks, "tb", "term")
         .sortWithinPartitions("term", "bucket")
         .mapInPandas(merge_fn, POSTINGS_SCHEMA)
         .withColumn("tb", term_shard_col(F.col("term"), cfg.n_segments))
@@ -433,19 +504,19 @@ def build_index(
         )
         .collect()[0]
     )
-    _lineage_rows(
-        spark,
+    _write_lineage(
         [
             dict(
                 stage="merge", partition_id=-1,
-                input_rows=int(total_tf_row["n_postings"] or 0),
+                input_rows=total_postings_in,
                 output_rows=int(post_stats["n_terms"]),
                 wall_s=merge_wall,
                 rows_per_s=(int(post_stats["n_postings"] or 0) / merge_wall if merge_wall > 0 else 0.0),
                 bytes_out=int(post_stats["bytes"] or 0), status="done", ts=time.time(),
             )
         ],
-    ).write.mode("append").parquet(lin_dir)
+        lin_dir,
+    )
 
     stats = dict(
         n_docs=n_docs,

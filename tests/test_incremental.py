@@ -1,0 +1,120 @@
+"""Incremental append / merged-on-read / compaction: rank + score identity.
+
+The contract (olaf_spark/incremental.py): appending documents as deltas and
+querying the group must equal a clean rebuild over the union corpus, score
+for score; compaction must not change any result. Mirrors Olaf's live-store
+append semantics (src/olaf_db.c:309-311) and the delete/re-store functional
+test (tests/olaf_functional_tests.zig:462-560).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from olaf_spark.config import EngineConfig
+from olaf_spark.incremental import IndexGroup, append_index, compact_index
+from olaf_spark.indexer import build_index
+from olaf_spark.oracle import OracleIndex
+from olaf_spark.synth import gen_pages
+from olaf_spark.wand import load_term_postings, query_index, vectorized_topk
+
+N_DOCS = 200
+K = 10
+CFG = EngineConfig(block_size=8)
+QUERIES = ["w1 w50 w1000", "w2 w17 w300", "needle97 w2", "w3 w5 w7 w11"]
+
+
+def assert_identical(got, want):
+    assert [d for d, _ in got] == [d for d, _ in want], (got, want)
+    for (gd, gs), (od, osc) in zip(got, want):
+        assert math.isclose(gs, osc, rel_tol=1e-12, abs_tol=1e-15), (gd, gs, osc)
+
+
+@pytest.fixture(scope="module")
+def halves(spark):
+    pages = gen_pages(spark, N_DOCS, seed=42).select("doc_id", "text").cache()
+    a = pages.where("doc_id % 2 = 0")
+    b = pages.where("doc_id % 2 = 1")
+    return pages, a, b
+
+
+@pytest.fixture(scope="module")
+def grouped(spark, halves, tmp_path_factory):
+    pages, a, b = halves
+    base = str(tmp_path_factory.mktemp("inc") / "ix")
+    build_index(spark, a, base, CFG, n_buckets=4)
+    append_index(spark, b, base, n_buckets=4)
+    return IndexGroup.load(base), base
+
+
+def test_group_stats_equal_clean_rebuild(spark, halves, grouped, tmp_path):
+    pages, _, _ = halves
+    group, _ = grouped
+    clean = build_index(spark, pages, str(tmp_path / "clean"), CFG, n_buckets=4)
+    assert group.n_docs == clean.n_docs
+    assert group.avgdl == clean.avgdl  # exact: both are total_tokens / n_docs
+
+
+def test_append_equals_clean_rebuild(spark, halves, grouped, tmp_path):
+    pages, _, _ = halves
+    group, _ = grouped
+    clean = build_index(spark, pages, str(tmp_path / "clean2"), CFG, n_buckets=4)
+    oracle = OracleIndex.build([(r["doc_id"], r["text"]) for r in pages.collect()], CFG)
+    for q in QUERIES:
+        want = oracle.topk(q, K)
+        assert_identical(group.topk(q, K), want)
+        assert_identical(vectorized_topk(load_term_postings(spark, clean, q), K), want)
+
+
+def test_multiple_deltas(spark, halves, tmp_path):
+    pages, a, b = halves
+    b1 = b.where("doc_id % 4 = 1")
+    b3 = b.where("doc_id % 4 = 3")
+    base = str(tmp_path / "multi")
+    build_index(spark, a, base, CFG, n_buckets=4)
+    append_index(spark, b1, base, n_buckets=2)
+    append_index(spark, b3, base, n_buckets=2)
+    group = IndexGroup.load(base)
+    assert len(group.parts) == 3
+    oracle = OracleIndex.build([(r["doc_id"], r["text"]) for r in pages.collect()], CFG)
+    for q in QUERIES[:2]:
+        assert_identical(group.topk(q, K), oracle.topk(q, K))
+
+
+def test_compact_preserves_results_and_enables_wand(spark, grouped, tmp_path):
+    group, base = grouped
+    out = str(tmp_path / "compacted")
+    compacted = compact_index(spark, base, out)
+    assert compacted.stats["compacted_from"] == 2
+    for q in QUERIES:
+        want = group.topk(q, K)
+        assert_identical(query_index(spark, compacted, q, K, method="vectorized"), want)
+        # block-max metadata was recomputed under group stats -> WAND valid
+        assert_identical(query_index(spark, compacted, q, K, method="wand"), want)
+
+
+def test_group_delete_then_compact_drops_postings(spark, halves, tmp_path):
+    pages, a, b = halves
+    base = str(tmp_path / "del")
+    build_index(spark, a, base, CFG, n_buckets=4)
+    append_index(spark, b, base, n_buckets=4)
+    group = IndexGroup.load(base)
+    victim = group.topk("needle97", 1)[0][0]
+    group.delete_docs([victim])
+    assert all(d != victim for d, _ in group.topk("needle97", K))
+    compacted = compact_index(spark, base, str(tmp_path / "delc"))
+    got = query_index(spark, compacted, "needle97", K)
+    assert all(d != victim for d, _ in got)
+    # remaining docs score exactly as they did merged-on-read
+    assert_identical(got, [x for x in group.topk("needle97", K)])
+
+
+def test_append_refuses_config_mismatch(spark, halves, tmp_path):
+    _, a, b = halves
+    base = str(tmp_path / "cfg")
+    build_index(spark, a, base, CFG, n_buckets=4)
+    append_index(spark, b, base, n_buckets=4)
+    with pytest.raises(ValueError):
+        IndexGroup.load(base, EngineConfig(k1=2.0, block_size=8))
