@@ -49,7 +49,8 @@ from olaf_spark.indexer import (
     POSTINGS_SCHEMA,
     Index,
     build_index,
-    term_shard_col,
+    shard_from_id_col,
+    term_id_py,
 )
 from olaf_spark.scorer import idf as idf_fn
 from olaf_spark.tokenize import tokenize_py
@@ -134,18 +135,20 @@ class IndexGroup:
         """
         import pyarrow.compute as pc
 
-        from olaf_spark.indexer import term_shard
-
         cfg = self.cfg
         qterms = sorted(set(tokenize_py(query_text, cfg)))
         if not qterms:
             return []
-        tbs = sorted({term_shard(t, cfg.n_segments) for t in qterms})
-        flt = pc.field("tb").isin(tbs) & pc.field("term").isin(qterms)
+        id_to_term: dict[int, str] = {}
+        for t in qterms:
+            id_to_term.setdefault(term_id_py(t), t)
+        qids = sorted(id_to_term)
+        tbs = sorted({i % cfg.n_segments for i in qids})
+        flt = pc.field("tb").isin(tbs) & pc.field("term_id").isin(qids)
         per_term: dict[str, list[dict]] = {}
         for p in self.parts:
             for r in p.dataset().to_table(filter=flt).to_pylist():
-                per_term.setdefault(r["term"], []).append(r)
+                per_term.setdefault(id_to_term[r["term_id"]], []).append(r)
 
         ts = self.tombstones()
         ts_arr = np.fromiter(ts, dtype=np.int64) if ts else None
@@ -202,7 +205,7 @@ def _make_compact_fn(n_docs: int, avgdl: float, cfg: EngineConfig, tombstones: s
         if not batches:
             return
         pdf = pd.concat(batches, ignore_index=True)
-        terms = pdf["term"].to_numpy()
+        terms = pdf["term_id"].to_numpy(dtype=np.int64)
         id_bufs = pdf["doc_ids_bin"].to_numpy()
         tf_bufs = pdf["tfs_bin"].to_numpy()
         dl_bufs = pdf["doc_lens_bin"].to_numpy()
@@ -256,7 +259,7 @@ def _make_compact_fn(n_docs: int, avgdl: float, cfg: EngineConfig, tombstones: s
         gs = np.asarray(group_starts, dtype=np.int64)
         yield pd.DataFrame(
             {
-                "term": out_terms,
+                "term_id": np.asarray(out_terms, dtype=np.int64),
                 "df": np.asarray(dfs, dtype=np.int64),
                 "doc_ids_bin": encode_grouped(np.concatenate(all_ids), gs, delta=True),
                 "tfs_bin": encode_grouped(np.concatenate(all_tfs), gs, delta=False),
@@ -295,11 +298,11 @@ def compact_index(spark: SparkSession, base_dir: str, out_dir: str) -> Index:
     # range-partitioned on (tb, term) for the same balance/straggler reasons
     # as the build merge (indexer.py stage 2); equal keys never split ranges
     merged = (
-        all_rows.withColumn("tb", term_shard_col(F.col("term"), cfg.n_segments))
-        .repartitionByRange(max(cfg.n_segments, 128), "tb", "term")
-        .sortWithinPartitions("term")
+        all_rows.withColumn("tb", shard_from_id_col(F.col("term_id"), cfg.n_segments))
+        .repartitionByRange(max(cfg.n_segments, 128), "tb", "term_id")
+        .sortWithinPartitions("term_id")
         .mapInPandas(compact_fn, POSTINGS_SCHEMA)
-        .withColumn("tb", term_shard_col(F.col("term"), cfg.n_segments))
+        .withColumn("tb", shard_from_id_col(F.col("term_id"), cfg.n_segments))
     )
     post_dir = os.path.join(out_dir, "postings")
     merged.write.mode("overwrite").partitionBy("tb").parquet(post_dir)

@@ -60,29 +60,47 @@ from olaf_spark.config import EngineConfig
 from olaf_spark.scorer import idf
 
 SEGMENT_SCHEMA = (
-    "term string, bucket int, n_docs long, sum_tf long, "
+    "term_id long, bucket int, n_docs long, sum_tf long, "
     "doc_ids_bin binary, tfs_bin binary, doc_lens_bin binary"
 )
 
 POSTINGS_SCHEMA = (
-    "term string, df long, doc_ids_bin binary, tfs_bin binary, doc_lens_bin binary, "
+    "term_id long, df long, doc_ids_bin binary, tfs_bin binary, doc_lens_bin binary, "
     "block_lasts array<long>, block_maxes array<double>"
 )
 
 
+def term_id_py(term: str) -> int:
+    """64-bit integer term key from xxhash64(term) — Olaf's packed
+    fingerprint hash (olaf_fp_extractor.c:92-145): the index stores,
+    shuffles, and sorts fixed-width integer keys, never strings. Shuffling
+    ids instead of strings makes the build's sort/compare path numeric
+    (string-object boundary compares dominated the pack step) and the
+    shuffle rows fixed-width; the index needs no term dictionary because
+    the serving path recomputes the hash per query term. The JVM side is
+    Spark's native `xxhash64` intrinsic (seed 42, no per-token string
+    allocation, unlike an md5-hex route); this Python twin
+    (olaf_spark.xxh64) is property-tested bit-identical against it.
+    Collisions merge two terms' postings — the same accepted hash-semantics
+    as Olaf's 34-bit fingerprint space, here at ~2^-64 rates.
+    """
+    from olaf_spark.xxh64 import xxh64
+
+    return xxh64(term.encode("utf-8"))
+
+
+def term_id_col(term_col):
+    """JVM twin of term_id_py (bit-identical, property-tested)."""
+    return F.xxhash64(term_col)
+
+
 def term_shard(term: str, n_shards: int) -> int:
-    """Pure-Python twin of term_shard_col (md5-derived, engine-portable)."""
-    import hashlib
-
-    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:4], 16) % n_shards
+    """Serving-side shard lookup: tb = term_id % n_shards."""
+    return term_id_py(term) % n_shards
 
 
-def term_shard_col(term_col, n_shards: int):
-    """Shard id from the first 4 hex chars of md5(term) — identical in the
-    JVM and in Python, so the serving path can compute it without Spark."""
-    return (
-        F.conv(F.substring(F.md5(term_col), 1, 4), 16, 10).cast("long") % n_shards
-    ).cast("int")
+def shard_from_id_col(term_id_col_, n_shards: int):
+    return F.pmod(term_id_col_, F.lit(n_shards)).cast("int")
 
 
 def token_occurrences_df(
@@ -91,14 +109,17 @@ def token_occurrences_df(
     id_col: str = "doc_id",
     cfg: EngineConfig | None = None,
 ) -> DataFrame:
-    """(doc_id, doc_len, term) — one row per token OCCURRENCE, zero shuffle.
+    """(doc_id, doc_len, term_id) — one row per token OCCURRENCE, zero
+    shuffle, fixed-width rows.
 
     doc_len = size(tokens) is projected before the explode (one tokenize
-    pass), and tf is NOT aggregated here: counting duplicates of
-    (term, bucket, doc_id) happens inside _pack_stage1 on rows the bucket
-    shuffle already sorted. The old pipeline shuffled ~same data three
-    times (groupBy tf, window doc_len, bucket repartition); this shape
-    makes the bucket repartition the build's ONLY wide exchange.
+    pass), term strings collapse to 60-bit term_ids right after it, and tf
+    is NOT aggregated here: counting duplicates of (term_id, bucket,
+    doc_id) happens inside _pack_stage1 on rows the bucket shuffle already
+    sorted. The old pipeline shuffled ~same data three times (groupBy tf,
+    doc_len window, bucket repartition) with string keys; this shape makes
+    the bucket repartition the build's ONLY wide exchange, carrying three
+    longs + an int per token.
     """
     from olaf_spark.tokenize import tokens_array
 
@@ -108,7 +129,7 @@ def token_occurrences_df(
     )
     return base.select(
         "doc_id", F.size("toks").alias("doc_len"), F.explode("toks").alias("term")
-    )
+    ).select("doc_id", "doc_len", term_id_col(F.col("term")).alias("term_id"))
 
 
 def _pack_stage1(pdf_iter) -> "pd.DataFrame":
@@ -127,7 +148,7 @@ def _pack_stage1(pdf_iter) -> "pd.DataFrame":
         return
     pdf = pd.concat(batches, ignore_index=True)
     n = len(pdf)
-    terms = pdf["term"].to_numpy()
+    terms = pdf["term_id"].to_numpy(dtype=np.int64)
     buckets = pdf["bucket"].to_numpy()
     ids_all = pdf["doc_id"].to_numpy(dtype=np.int64)
     dls_all = pdf["doc_len"].to_numpy(dtype=np.uint64)
@@ -154,7 +175,7 @@ def _pack_stage1(pdf_iter) -> "pd.DataFrame":
 
     yield pd.DataFrame(
         {
-            "term": terms[g_starts_rows],
+            "term_id": terms[g_starts_rows],
             "bucket": buckets[g_starts_rows].astype("int32"),
             "n_docs": n_docs.astype("int64"),
             "sum_tf": sum_tf.astype("int64"),
@@ -179,7 +200,7 @@ def _make_merge_fn(n_docs: int, avgdl: float, cfg: EngineConfig):
         if not batches:
             return
         pdf = pd.concat(batches, ignore_index=True)
-        terms = pdf["term"].to_numpy()
+        terms = pdf["term_id"].to_numpy(dtype=np.int64)
         # plain object arrays: .iloc in the hot loop costs ~10us per access,
         # which at millions of segment rows turned the merge superlinear
         id_bufs = pdf["doc_ids_bin"].to_numpy()
@@ -220,7 +241,7 @@ def _make_merge_fn(n_docs: int, avgdl: float, cfg: EngineConfig):
         gs = np.asarray(group_starts, dtype=np.int64)
         yield pd.DataFrame(
             {
-                "term": out_terms,
+                "term_id": np.asarray(out_terms, dtype=np.int64),
                 "df": np.asarray(dfs, dtype=np.int64),
                 "doc_ids_bin": encode_grouped(cat(all_ids), gs, delta=True),
                 "tfs_bin": encode_grouped(cat(all_tfs), gs, delta=False),
@@ -427,8 +448,8 @@ def build_index(
     t0 = time.time()
     n_tasks = max(n_buckets, spark.sparkContext.defaultParallelism)
     seg = (
-        todo_pf.repartition(n_tasks, "bucket", "term")
-        .sortWithinPartitions("bucket", "term", "doc_id")
+        todo_pf.repartition(n_tasks, "bucket", "term_id")
+        .sortWithinPartitions("bucket", "term_id", "doc_id")
         .mapInPandas(_pack_stage1, SEGMENT_SCHEMA)
     )
     seg.write.mode("append").partitionBy("bucket").parquet(seg_dir)
@@ -486,11 +507,11 @@ def build_index(
     #     term-sorted files — row-group stats still prune within them.
     n_merge_tasks = max(cfg.n_segments, n_merge_tasks or 0, 128)
     postings = (
-        segments.withColumn("tb", term_shard_col(F.col("term"), cfg.n_segments))
-        .repartitionByRange(n_merge_tasks, "tb", "term")
-        .sortWithinPartitions("term", "bucket")
+        segments.withColumn("tb", shard_from_id_col(F.col("term_id"), cfg.n_segments))
+        .repartitionByRange(n_merge_tasks, "tb", "term_id")
+        .sortWithinPartitions("term_id", "bucket")
         .mapInPandas(merge_fn, POSTINGS_SCHEMA)
-        .withColumn("tb", term_shard_col(F.col("term"), cfg.n_segments))
+        .withColumn("tb", shard_from_id_col(F.col("term_id"), cfg.n_segments))
     )
     postings.write.mode("overwrite").partitionBy("tb").parquet(post_dir)
     merge_wall = time.time() - t0

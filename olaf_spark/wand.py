@@ -59,14 +59,15 @@ def _fetch_posting_rows(index: Index, qterms: list[str]) -> list[dict]:
     """
     import pyarrow.compute as pc
 
-    from olaf_spark.indexer import term_shard
+    from olaf_spark.indexer import term_id_py
 
     dataset = index.dataset()
-    tbs = sorted({term_shard(t, index.cfg.n_segments) for t in qterms})
+    qids = sorted({term_id_py(t) for t in qterms})
+    tbs = sorted({i % index.cfg.n_segments for i in qids})
     # hive partition pruning on tb -> reads ~|q| shard directories; row-group
-    # stats on the term-sorted shards prune further within each file
+    # stats on the term_id-sorted shards prune further within each file
     tbl = dataset.to_table(
-        filter=pc.field("tb").isin(tbs) & pc.field("term").isin(qterms)
+        filter=pc.field("tb").isin(tbs) & pc.field("term_id").isin(qids)
     )
     return tbl.to_pylist()
 
@@ -78,14 +79,22 @@ def load_term_postings(
 
     `spark` is accepted for API symmetry but unused — see _fetch_posting_rows.
     """
+    from olaf_spark.indexer import term_id_py
+
     cfg = index.cfg
     qterms = sorted(set(tokenize_py(query_text, cfg)))
     if not qterms:
         return []
+    # id -> term STRING so accumulation order stays ascending-by-term-string
+    # (the oracle's order — bit-identical float sums); on an id collision the
+    # lexicographically first string labels the merged postings
+    id_to_term: dict[int, str] = {}
+    for t in qterms:
+        id_to_term.setdefault(term_id_py(t), t)
     rows = _fetch_posting_rows(index, qterms)
     tombstones = index.tombstones()
     out = []
-    for r in sorted(rows, key=lambda r: r["term"]):
+    for r in sorted(rows, key=lambda r: id_to_term[r["term_id"]]):
         ids, tfs = unpack_postings(bytes(r["doc_ids_bin"]), bytes(r["tfs_bin"]))
         dls = varbyte_decode(bytes(r["doc_lens_bin"]))
         if tombstones:
@@ -106,7 +115,7 @@ def load_term_postings(
         bm = np.asarray(r["block_maxes"], dtype=np.float64)
         out.append(
             TermPostings(
-                term=r["term"], idf=w,
+                term=id_to_term[r["term_id"]], idf=w,
                 doc_ids=ids.astype(np.int64), scores=scores,
                 block_lasts=bl, block_maxes=bm,
                 max_score=float(bm.max()) if bm.size else 0.0,
