@@ -443,6 +443,68 @@ def _get_index(spark: SparkSession, sf_dir: str):
     return _INDEX_CACHE[sf_dir]
 
 
+# --------------------------------------------------------------------------
+# fragment source (SURVEY §2.1): Olaf's --fragmented 30 s tumbling query
+# pieces (cli/olaf_cli_threading.zig:238-292) -> fixed-size token windows
+# --------------------------------------------------------------------------
+
+FRAGMENT_LEN = 30
+
+
+def q_fragment_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokens_df(_docs(spark, sf_dir), with_pos=True)
+    return (
+        toks.withColumn("window_id", F.floor(F.col("pos") / FRAGMENT_LEN).cast("long"))
+        .groupBy("doc_id", "window_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.min("term").alias("first_term"),
+        )
+    )
+
+
+SQL_FRAGMENT_WINDOWS = f"""
+WITH tokpos AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) - 1 AS pos
+  FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                       t -> t <> '') AS arr
+    FROM documents
+  )
+)
+SELECT doc_id, (pos // {FRAGMENT_LEN})::BIGINT AS window_id,
+       count(*)::BIGINT AS n_tokens, min(term) AS first_term
+FROM tokpos GROUP BY doc_id, pos // {FRAGMENT_LEN}
+"""
+
+
+# --------------------------------------------------------------------------
+# metadata resolve (SURVEY §2.3): per-result point lookup
+# (olaf_db_find_meta_data src/olaf_db.c:212-235, called per match
+# olaf_fp_matcher.c:327-328) -> broadcast hash join of top-k vs documents
+# --------------------------------------------------------------------------
+
+
+def q_result_meta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hits = bm25_topk_adhoc(spark, _docs(spark, sf_dir), FLAGSHIP_QUERY, k=K, cfg=CFG)
+    meta = _docs(spark, sf_dir).select("doc_id", "source", "lang", "n_chars")
+    return hits.join(F.broadcast(meta), "doc_id", "left").select(
+        "doc_id",
+        F.round("score", 4).cast("double").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+        "source",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+SQL_RESULT_META_JOIN = f"""
+SELECT res.doc_id, res.score, res.rank, d.source, d.lang, d.n_chars::BIGINT AS n_chars
+FROM ({SQL_BM25_TOPK}) res LEFT JOIN documents d ON res.doc_id = d.doc_id
+"""
+
+
 _GROUP_CACHE: dict[str, object] = {}
 
 
@@ -793,6 +855,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "bm25_topk_wand": q_bm25_topk_wand,
     "bm25_incremental": q_bm25_incremental,
+    "fragment_windows": q_fragment_windows,
+    "result_meta_join": q_result_meta_join,
     "extract_roundtrip": q_extract_roundtrip,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_signatures": q_minhash_signatures,
@@ -826,6 +890,8 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_cosine_topk": SQL_EMBEDDING_COSINE_TOPK,
     "bm25_topk_wand": SQL_BM25_TOPK,
     "bm25_incremental": SQL_BM25_TOPK,
+    "fragment_windows": SQL_FRAGMENT_WINDOWS,
+    "result_meta_join": SQL_RESULT_META_JOIN,
     "extract_roundtrip": SQL_EXTRACT_ROUNDTRIP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,

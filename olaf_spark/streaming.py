@@ -124,6 +124,24 @@ def stateful_match_accumulator(hits: DataFrame, ttl: str = "10 seconds") -> Data
     )
 
 
+def stream_index_appends(spark: SparkSession, base_dir: str, n_buckets: int = 8):
+    """foreachBatch handler: each micro-batch of documents appends to the
+    index as a delta (incremental.append_index) — Olaf's live store append
+    (`src/olaf_db.c:309-311`, readers see each committed txn) re-expressed
+    as Structured Streaming. Queries through IndexGroup see every completed
+    batch; rank/score-identical to a clean rebuild over all ingested docs
+    (tests/test_incremental.py).
+    """
+    from olaf_spark.incremental import append_index
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_index(spark, batch_df, base_dir, n_buckets=n_buckets)
+
+    return handle
+
+
 def stream_bm25_queries(
     spark: SparkSession,
     query_stream: DataFrame,

@@ -111,6 +111,40 @@ def test_group_delete_then_compact_drops_postings(spark, halves, tmp_path):
     assert_identical(got, [x for x in group.topk("needle97", K)])
 
 
+def test_streaming_append_equals_clean_rebuild(spark, halves, tmp_path):
+    """Structured Streaming ingestion: micro-batches append deltas via
+    foreachBatch (streaming.stream_index_appends); the group then answers
+    queries exactly like a clean rebuild over everything ingested."""
+    from olaf_spark.streaming import stream_index_appends
+
+    pages, a, b = halves
+    base = str(tmp_path / "stream_ix")
+    build_index(spark, a, base, CFG, n_buckets=4)
+
+    src = str(tmp_path / "incoming")
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    b.where("doc_id % 4 = 1").coalesce(1).write.mode("append").parquet(src)
+    b.where("doc_id % 4 = 3").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(stream_index_appends(spark, base, n_buckets=2))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    group = IndexGroup.load(base)
+    assert len(group.parts) == 3  # main + one delta per micro-batch
+    oracle = OracleIndex.build([(r["doc_id"], r["text"]) for r in pages.collect()], CFG)
+    for qq in QUERIES[:2]:
+        assert_identical(group.topk(qq, K), oracle.topk(qq, K))
+
+
 def test_append_refuses_config_mismatch(spark, halves, tmp_path):
     _, a, b = halves
     base = str(tmp_path / "cfg")
