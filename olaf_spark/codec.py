@@ -60,22 +60,43 @@ def varbyte_encode(values: np.ndarray) -> bytes:
 
 
 def varbyte_decode(buf: bytes) -> np.ndarray:
-    """Inverse of varbyte_encode — vectorized LEB128 decode."""
+    """Inverse of varbyte_encode — vectorized LEB128 decode.
+
+    Works at VALUE granularity, not byte granularity: value boundaries come
+    from one flatnonzero over the continuation bits, then values are decoded
+    in length strata (all 1-byte values in one shot, all 2-byte values in
+    two gathers, ...). Postings gaps/tfs/doc_lens are overwhelmingly 1-2
+    bytes, so this is ~4 array passes total — the serving path decodes
+    full head-term posting lists per query, making this the latency floor.
+    """
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
-    is_last = (b & 0x80) == 0
-    # group index of each byte within its value: position since last boundary
-    val_id = np.zeros(b.size, dtype=np.int64)
-    val_id[1:] = np.cumsum(is_last)[:-1]
-    n_vals = int(is_last.sum())
-    # byte position within each value
-    starts = np.zeros(n_vals, dtype=np.int64)
-    ends = np.flatnonzero(is_last)
-    starts[1:] = ends[:-1] + 1
-    byte_pos = np.arange(b.size, dtype=np.int64) - starts[val_id]
-    out = np.zeros(n_vals, dtype=np.uint64)
-    np.add.at(out, val_id, (b & np.uint8(0x7F)).astype(np.uint64) << (7 * byte_pos).astype(np.uint64))
+    ends = np.flatnonzero((b & 0x80) == 0)  # index of each value's last byte
+    n = ends.size
+    lengths = np.empty(n, dtype=np.int64)
+    lengths[0] = ends[0] + 1
+    np.subtract(ends[1:], ends[:-1], out=lengths[1:])
+    maxlen = int(lengths.max())
+    if maxlen == 1:
+        return b.astype(np.uint64)  # no continuation bits anywhere
+    starts = ends - lengths + 1
+    if maxlen == 2:  # the dominant posting shape: gaps/tfs/doc_lens < 2^14
+        lo = (b[starts] & np.uint8(0x7F)).astype(np.uint64)
+        nxt = b[np.minimum(starts + 1, b.size - 1)] & np.uint8(0x7F)
+        # bool multiply zeroes the phantom "next byte" of 1-byte values
+        hi = (nxt * (lengths == 2)).astype(np.uint64)
+        return lo | hi << np.uint64(7)
+    out = np.zeros(n, dtype=np.uint64)
+    for L in range(1, maxlen + 1):
+        sel = np.flatnonzero(lengths == L)
+        if sel.size == 0:
+            continue
+        s = starts[sel]
+        v = (b[s] & np.uint8(0x7F)).astype(np.uint64)
+        for j in range(1, L):
+            v |= (b[s + j] & np.uint8(0x7F)).astype(np.uint64) << np.uint64(7 * j)
+        out[sel] = v
     return out
 
 

@@ -134,18 +134,42 @@ def vectorized_topk(lists: list[TermPostings], k: int) -> list[tuple[int, float]
     rank-identical (tests/test_index_wand.py).
 
     Determinism: `lists` arrives sorted by term (load_term_postings), so
-    concatenation order == ascending term order, and np.bincount folds
-    weights sequentially in input order — each doc's contributions sum in
-    exactly the oracle's float64 order.
+    concatenation order == ascending term order; the STABLE sort keeps
+    equal doc_ids in that order, and np.add.reduceat folds each doc's
+    segment sequentially — exactly the oracle's float64 sum order.
+
+    Cost shape: each posting list is already doc_id-sorted, so the stable
+    argsort is a timsort run-merge (near-linear), and top-k selection is
+    an argpartition + small exact re-sort instead of a full lexsort over
+    every matched doc (a head-term query matches most of the corpus).
     """
     if not lists or k <= 0:
         return []
     ids = np.concatenate([tp.doc_ids for tp in lists])
+    if ids.size == 0:  # e.g. every posting tombstoned
+        return []
     scores = np.concatenate([tp.scores for tp in lists])
-    uniq, inv = np.unique(ids, return_inverse=True)
-    acc = np.bincount(inv, weights=scores, minlength=uniq.size)
-    order = np.lexsort((uniq, -acc))[:k]  # (score desc, doc_id asc)
-    return [(int(uniq[i]), float(acc[i])) for i in order]
+    order = np.argsort(ids, kind="stable")
+    ids_s = ids[order]
+    sc_s = scores[order]
+    d_new = np.empty(ids_s.size, dtype=bool)
+    d_new[0] = True
+    d_new[1:] = ids_s[1:] != ids_s[:-1]
+    starts = np.flatnonzero(d_new)
+    uniq = ids_s[starts]
+    acc = np.add.reduceat(sc_s, starts)
+
+    n = uniq.size
+    if n > k:
+        # exact top-k with (score desc, doc_id asc) ties: partition for the
+        # k-th score, keep everything >= it, re-sort only that sliver
+        kth = np.partition(acc, n - k)[n - k]
+        sel = np.flatnonzero(acc >= kth)
+        sub = np.lexsort((uniq[sel], -acc[sel]))[:k]
+        top = sel[sub]
+    else:
+        top = np.lexsort((uniq, -acc))[:k]
+    return [(int(uniq[i]), float(acc[i])) for i in top]
 
 
 def exhaustive_topk(lists: list[TermPostings], k: int) -> list[tuple[int, float]]:
