@@ -101,6 +101,29 @@ def test_full_range_int64_doc_ids(spark, tmp_path):
         assert_identical(wand_topk(lists, K), want)
 
 
+def test_universal_head_term_no_truncation(spark, tmp_path):
+    """A term present in EVERY document — the skew case where Olaf truncates
+    at maxDBCollisions=2000 and drops postings (olaf_db.c:366-375). We keep
+    every posting: df == n_docs, and ranks stay oracle-identical when the
+    query mixes the universal term with selective ones."""
+    from pyspark.sql import functions as F
+
+    n = 500
+    pages = (
+        gen_pages(spark, n, seed=11)
+        .select("doc_id", F.concat(F.col("text"), F.lit(" everywhere")).alias("text"))
+    )
+    oracle = OracleIndex.build([(r["doc_id"], r["text"]) for r in pages.collect()], CFG)
+    index = build_index(spark, pages, str(tmp_path / "ix"), CFG, n_buckets=8)
+    lists = load_term_postings(spark, index, "everywhere")
+    assert len(lists) == 1 and lists[0].doc_ids.size == n  # nothing truncated
+    for q in ["everywhere", "everywhere needle97", "everywhere w2 w300"]:
+        lists = load_term_postings(spark, index, q)
+        want = oracle.topk(q, K)
+        assert_identical(vectorized_topk(lists, K), want)
+        assert_identical(wand_topk(lists, K), want)
+
+
 def test_query_index_end_to_end(spark, built):
     pages, oracle, index = built
     got = query_index(spark, index, "needle97", k=5)
