@@ -132,58 +132,89 @@ def token_occurrences_df(
     ).select("doc_id", "doc_len", term_id_col(F.col("term")).alias("term_id"))
 
 
-def _pack_stage1(pdf_iter) -> "pd.DataFrame":
-    """One sorted partition of occurrence rows (term, bucket, doc_id,
-    doc_len) -> one packed segment row per (term, bucket) group, in ONE
-    vectorized pass: tf = run length of equal (term, bucket, doc_id).
+def bucket_of_np(ids: np.ndarray, lo: int, width: int, n_buckets: int) -> np.ndarray:
+    """numpy twin of bucket_expr — IEEE float64 ops match the JVM exactly."""
+    raw = np.floor((ids.astype(np.float64) - float(lo)) / float(width))
+    return np.minimum(n_buckets - 1, np.maximum(0, raw)).astype(np.int32)
 
-    Runs via mapInPandas over repartition(bucket, term) +
-    sortWithinPartitions(bucket, term, doc_id). A groupBy.applyInPandas
-    would invoke Python once per group (hundreds of thousands of 1-row
-    pandas frames — measured 4-7 minutes at 40k docs); this processes a
-    whole partition with numpy group-boundary detection instead.
-    """
-    batches = [p for p in pdf_iter if len(p)]
-    if not batches:
-        return
-    pdf = pd.concat(batches, ignore_index=True)
-    n = len(pdf)
-    terms = pdf["term_id"].to_numpy(dtype=np.int64)
-    buckets = pdf["bucket"].to_numpy()
-    ids_all = pdf["doc_id"].to_numpy(dtype=np.int64)
-    dls_all = pdf["doc_len"].to_numpy(dtype=np.uint64)
 
-    g_new = np.empty(n, dtype=bool)
-    g_new[0] = True
-    g_new[1:] = (terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1])
-    d_new = g_new.copy()
-    d_new[1:] |= ids_all[1:] != ids_all[:-1]
-
-    d_starts = np.flatnonzero(d_new)                     # one per (g, doc) run
-    tfs = np.diff(np.append(d_starts, n)).astype(np.uint64)
-    ids = ids_all[d_starts].astype(np.uint64)
-    dls = dls_all[d_starts]
-
-    g_starts_rows = np.flatnonzero(g_new)                # in occurrence space
-    # every group start IS a doc-run start (g_new implies d_new), so this
-    # searchsorted lands exactly on the runs' indices
-    g_starts = np.searchsorted(d_starts, g_starts_rows)
-    n_docs = np.diff(np.append(g_starts, d_starts.size))
-    # occurrences per group == sum of tfs per group (feeds global avgdl from
-    # a cheap segment scan instead of a second corpus tokenize pass)
-    sum_tf = np.diff(np.append(g_starts_rows, n))
-
-    yield pd.DataFrame(
-        {
-            "term_id": terms[g_starts_rows],
-            "bucket": buckets[g_starts_rows].astype("int32"),
-            "n_docs": n_docs.astype("int64"),
-            "sum_tf": sum_tf.astype("int64"),
-            "doc_ids_bin": encode_grouped(ids, g_starts, delta=True),
-            "tfs_bin": encode_grouped(tfs, g_starts, delta=False),
-            "doc_lens_bin": encode_grouped(dls, g_starts, delta=False),
-        }
+def bucket_expr(id_col, lo: int, width: int, n_buckets: int):
+    """doc_id -> range-bucket id. Runs in float64 because doc_id spans the
+    full signed-int64 domain when derived via xxhash64(url) and (doc_id -
+    lo) overflows long arithmetic; cast/sub/div/floor are each monotone
+    non-decreasing, and monotone-in-doc_id is the only property
+    merge-by-concatenation needs; the clamp guards the top edge against
+    rounding. Deterministic from (lo, width) -> resume-safe."""
+    return F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (id_col.cast("double") - F.lit(float(lo))) / F.lit(float(width))
+            ).cast("int"),
+        ),
     )
+
+
+def _make_pack_stage1(lo: int, width: int, n_buckets: int):
+    """One sorted partition of occurrence rows (term_id, doc_id, doc_len)
+    -> one packed segment row per (term, bucket) group, in ONE vectorized
+    pass: tf = run length of equal (term_id, doc_id).
+
+    The bucket column never rides the shuffle: it is a deterministic
+    monotone function of doc_id, used as a partitioning EXPRESSION and
+    recomputed here in numpy (bucket_of_np, bit-identical float64).
+    Sorting by (term_id, doc_id) suffices — bucket is monotone in doc_id,
+    so (term, bucket) runs are contiguous. A groupBy.applyInPandas would
+    invoke Python once per group (hundreds of thousands of 1-row pandas
+    frames — measured 4-7 minutes at 40k docs); this processes a whole
+    partition with numpy group-boundary detection instead.
+    """
+
+    def _pack(pdf_iter) -> "pd.DataFrame":
+        batches = [p for p in pdf_iter if len(p)]
+        if not batches:
+            return
+        pdf = pd.concat(batches, ignore_index=True)
+        n = len(pdf)
+        terms = pdf["term_id"].to_numpy(dtype=np.int64)
+        ids_all = pdf["doc_id"].to_numpy(dtype=np.int64)
+        dls_all = pdf["doc_len"].to_numpy(dtype=np.uint64)
+        buckets = bucket_of_np(ids_all, lo, width, n_buckets)
+
+        g_new = np.empty(n, dtype=bool)
+        g_new[0] = True
+        g_new[1:] = (terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1])
+        d_new = g_new.copy()
+        d_new[1:] |= ids_all[1:] != ids_all[:-1]
+
+        d_starts = np.flatnonzero(d_new)                 # one per (g, doc) run
+        tfs = np.diff(np.append(d_starts, n)).astype(np.uint64)
+        ids = ids_all[d_starts].astype(np.uint64)
+        dls = dls_all[d_starts]
+
+        g_starts_rows = np.flatnonzero(g_new)            # in occurrence space
+        # every group start IS a doc-run start (g_new implies d_new), so this
+        # searchsorted lands exactly on the runs' indices
+        g_starts = np.searchsorted(d_starts, g_starts_rows)
+        n_docs = np.diff(np.append(g_starts, d_starts.size))
+        # occurrences per group == sum of tfs per group (feeds global avgdl
+        # from a cheap segment scan, not a second corpus tokenize pass)
+        sum_tf = np.diff(np.append(g_starts_rows, n))
+
+        yield pd.DataFrame(
+            {
+                "term_id": terms[g_starts_rows],
+                "bucket": buckets[g_starts_rows],
+                "n_docs": n_docs.astype("int64"),
+                "sum_tf": sum_tf.astype("int64"),
+                "doc_ids_bin": encode_grouped(ids, g_starts, delta=True),
+                "tfs_bin": encode_grouped(tfs, g_starts, delta=False),
+                "doc_lens_bin": encode_grouped(dls, g_starts, delta=False),
+            }
+        )
+
+    return _pack
 
 
 def _make_merge_fn(n_docs: int, avgdl: float, cfg: EngineConfig):
@@ -421,36 +452,21 @@ def build_index(
     bucket_width = max(1, (hi - lo) // n_buckets + 1)
 
     pf = token_occurrences_df(docs, text_col, id_col, cfg)
-    # doc_id spans the full signed-int64 domain when derived via xxhash64(url)
-    # (jobs/build_index_job.py), so (doc_id - lo) overflows long arithmetic.
-    # The bucket map therefore runs in float64: cast/sub/div/floor are each
-    # monotone non-decreasing, and monotone-in-doc_id is the only property
-    # merge-by-concatenation needs from bucket ids; the clamp guards the top
-    # edge against rounding. Resume-safe: lo/width recompute identically.
-    pf = pf.withColumn(
-        "bucket",
-        F.least(
-            F.lit(n_buckets - 1),
-            F.greatest(
-                F.lit(0),
-                F.floor(
-                    (F.col("doc_id").cast("double") - F.lit(float(lo)))
-                    / F.lit(float(bucket_width))
-                ).cast("int"),
-            ),
-        ),
-    )
+    # bucket never becomes a column: it partitions as an EXPRESSION and is
+    # recomputed in numpy inside the pack (bucket_of_np) — one fewer field
+    # in every shuffled occurrence row and one fewer sort key
+    b_expr = bucket_expr(F.col("doc_id"), lo, bucket_width, n_buckets)
 
     # ---- stage 1: partition-local packed segments (resumable) -------------
     done = completed_buckets(spark, index_dir) if resume else set()
-    todo_pf = pf.where(~F.col("bucket").isin(sorted(done))) if done else pf
+    todo_pf = pf.where(~b_expr.isin(sorted(done))) if done else pf
 
     t0 = time.time()
     n_tasks = max(n_buckets, spark.sparkContext.defaultParallelism)
     seg = (
-        todo_pf.repartition(n_tasks, "bucket", "term_id")
-        .sortWithinPartitions("bucket", "term_id", "doc_id")
-        .mapInPandas(_pack_stage1, SEGMENT_SCHEMA)
+        todo_pf.repartition(n_tasks, b_expr, F.col("term_id"))
+        .sortWithinPartitions("term_id", "doc_id")
+        .mapInPandas(_make_pack_stage1(lo, bucket_width, n_buckets), SEGMENT_SCHEMA)
     )
     seg.write.mode("append").partitionBy("bucket").parquet(seg_dir)
     seg_wall = time.time() - t0

@@ -12,7 +12,12 @@ from pyspark.sql import functions as F
 
 from olaf_spark import entry_queries as eq
 from olaf_spark.config import EngineConfig
-from olaf_spark.indexer import SEGMENT_SCHEMA, _pack_stage1, token_occurrences_df
+from olaf_spark.indexer import (
+    SEGMENT_SCHEMA,
+    _make_pack_stage1,
+    bucket_expr,
+    token_occurrences_df,
+)
 from olaf_spark.scorer import bm25_topk_adhoc
 from olaf_spark.synth import gen_pages
 
@@ -61,13 +66,12 @@ def test_build_stage1_single_exchange(spark):
     doc_len window, bucket repartition) was a measured 1.7x build slowdown."""
     docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
     cfg = EngineConfig()
-    pf = token_occurrences_df(docs, "text", "doc_id", cfg).withColumn(
-        "bucket", F.lit(0)
-    )
+    pf = token_occurrences_df(docs, "text", "doc_id", cfg)
+    b = bucket_expr(F.col("doc_id"), 0, 1 << 58, 8)
     seg = (
-        pf.repartition(8, "bucket", "term_id")
-        .sortWithinPartitions("bucket", "term_id", "doc_id")
-        .mapInPandas(_pack_stage1, SEGMENT_SCHEMA)
+        pf.repartition(8, b, F.col("term_id"))
+        .sortWithinPartitions("term_id", "doc_id")
+        .mapInPandas(_make_pack_stage1(0, 1 << 58, 8), SEGMENT_SCHEMA)
     )
     import re
 
