@@ -406,9 +406,10 @@ def completed_buckets(spark: SparkSession, index_dir: str) -> set[int]:
     lin_dir = os.path.join(index_dir, "lineage")
     if not os.path.exists(lin_dir):
         return set()
-    tbl = ds.dataset(lin_dir, format="parquet").to_table(
-        columns=["stage", "status", "partition_id"]
-    )
+    dataset = ds.dataset(lin_dir, format="parquet")
+    if not dataset.schema.names:  # dir created but no manifest landed (crash
+        return set()              # between makedirs and the first write)
+    tbl = dataset.to_table(columns=["stage", "status", "partition_id"])
     return {
         int(p)
         for s, st, p in zip(
@@ -529,18 +530,21 @@ def build_index(
         .mapInPandas(merge_fn, POSTINGS_SCHEMA)
         .withColumn("tb", shard_from_id_col(F.col("term_id"), cfg.n_segments))
     )
+    # postings stats ride the write via the Observation API — no re-scan job
+    from pyspark.sql import Observation
+
+    obs = Observation("post_stats")
+    postings = postings.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("df").alias("n_postings"),
+        F.sum(
+            F.length("doc_ids_bin") + F.length("tfs_bin") + F.length("doc_lens_bin")
+        ).alias("bytes"),
+    )
     postings.write.mode("overwrite").partitionBy("tb").parquet(post_dir)
     merge_wall = time.time() - t0
-
-    post_stats = (
-        spark.read.parquet(post_dir)
-        .agg(
-            F.count("*").alias("n_terms"),
-            F.sum("df").alias("n_postings"),
-            F.sum(F.length("doc_ids_bin") + F.length("tfs_bin") + F.length("doc_lens_bin")).alias("bytes"),
-        )
-        .collect()[0]
-    )
+    post_stats = obs.get
     _write_lineage(
         [
             dict(
