@@ -393,10 +393,13 @@ def _write_lineage(rows: list[dict], lin_dir: str) -> None:
 
     os.makedirs(lin_dir, exist_ok=True)
     pdf = pd.DataFrame(rows).astype(_LINEAGE_SCHEMA_PD)
-    pq.write_table(
-        pa.Table.from_pandas(pdf, preserve_index=False),
-        os.path.join(lin_dir, f"lineage-{uuid.uuid4().hex}.parquet"),
-    )
+    # write-then-rename: a crash mid-write leaves only a dot-prefixed tmp,
+    # which pyarrow datasets and Spark's parquet reader both ignore — a
+    # manifest either exists completely or not at all (commit-file pattern)
+    name = f"lineage-{uuid.uuid4().hex}.parquet"
+    tmp = os.path.join(lin_dir, f".{name}.tmp")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+    os.rename(tmp, os.path.join(lin_dir, name))
 
 
 def completed_buckets(spark: SparkSession, index_dir: str) -> set[int]:
