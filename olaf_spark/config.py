@@ -43,6 +43,12 @@ class EngineConfig:
     n_segments: int = 32           # shuffle partitions for the term shuffle
     salt_df_threshold: int = 100_000  # terms with df above this get salted
     salt_buckets: int = 16
+    # head-term row cap: a term with df above this is stored as several
+    # doc-range-chunked posting rows (each carrying the FULL df, so scores
+    # are unchanged) instead of one mega-row. At 10^12 docs a universal
+    # term's single row would be ~370 GB — no task or serving read may
+    # ever depend on one term fitting one row. 4M postings ≈ 15 MB packed.
+    max_row_postings: int = 4_000_000
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), sort_keys=True)

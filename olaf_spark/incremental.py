@@ -155,7 +155,8 @@ class IndexGroup:
         out: list[TermPostings] = []
         for term in sorted(per_term):
             rows = per_term[term]
-            df_total = sum(int(r["df"]) for r in rows)
+            # chunk rows repeat the full per-part df: count each part once
+            df_total = sum(int(r["df"]) for r in rows if int(r["chunk"]) == 0)
             w = idf_fn(self.n_docs, df_total)
             ids_l, tfs_l, dls_l = [], [], []
             for r in rows:
@@ -215,7 +216,8 @@ def _make_compact_fn(n_docs: int, avgdl: float, cfg: EngineConfig, tombstones: s
         row_starts = np.flatnonzero(row_new)
         row_ends = np.append(row_starts[1:], len(pdf))
 
-        out_terms, dfs, group_starts = [], [], []
+        cap = max(block_size, (cfg.max_row_postings // block_size) * block_size)
+        out_terms, dfs, chunks, group_starts = [], [], [], []
         all_ids, all_tfs, all_dls = [], [], []
         blk_lasts, blk_maxes = [], []
         pos = 0
@@ -240,19 +242,23 @@ def _make_compact_fn(n_docs: int, avgdl: float, cfg: EngineConfig, tombstones: s
             # tombstones) so post-compaction scores equal pre-compaction ones
             df = int(sum(int(x.size) for x in ids_p))
             w = idf_fn(n_docs, df)
-            lasts, bmax = block_maxes(
-                ids.astype(np.uint64), tfs.astype(np.float64), dls.astype(np.float64),
-                w, k1, b, avgdl, block_size,
-            )
-            out_terms.append(terms[s])
-            dfs.append(df)
-            group_starts.append(pos)
-            pos += ids.size
-            all_ids.append(ids.astype(np.uint64))
-            all_tfs.append(tfs)
-            all_dls.append(dls)
-            blk_lasts.append(lasts.tolist())
-            blk_maxes.append(bmax.tolist())
+            for ci, c0 in enumerate(range(0, int(ids.size), cap)):
+                c1 = min(c0 + cap, int(ids.size))
+                c_ids, c_tfs, c_dls = ids[c0:c1], tfs[c0:c1], dls[c0:c1]
+                lasts, bmax = block_maxes(
+                    c_ids.astype(np.uint64), c_tfs.astype(np.float64),
+                    c_dls.astype(np.float64), w, k1, b, avgdl, block_size,
+                )
+                out_terms.append(terms[s])
+                dfs.append(df)
+                chunks.append(ci)
+                group_starts.append(pos)
+                pos += c_ids.size
+                all_ids.append(c_ids.astype(np.uint64))
+                all_tfs.append(c_tfs)
+                all_dls.append(c_dls)
+                blk_lasts.append(lasts.tolist())
+                blk_maxes.append(bmax.tolist())
 
         if not out_terms:
             return
@@ -261,6 +267,7 @@ def _make_compact_fn(n_docs: int, avgdl: float, cfg: EngineConfig, tombstones: s
             {
                 "term_id": np.asarray(out_terms, dtype=np.int64),
                 "df": np.asarray(dfs, dtype=np.int64),
+                "chunk": np.asarray(chunks, dtype=np.int32),
                 "doc_ids_bin": encode_grouped(np.concatenate(all_ids), gs, delta=True),
                 "tfs_bin": encode_grouped(np.concatenate(all_tfs), gs, delta=False),
                 "doc_lens_bin": encode_grouped(np.concatenate(all_dls), gs, delta=False),
@@ -307,11 +314,12 @@ def compact_index(spark: SparkSession, base_dir: str, out_dir: str) -> Index:
     post_dir = os.path.join(out_dir, "postings")
     merged.write.mode("overwrite").partitionBy("tb").parquet(post_dir)
 
+    first = (F.col("chunk") == 0).cast("long")  # chunk rows repeat (term, df)
     post_stats = (
         spark.read.parquet(post_dir)
         .agg(
-            F.count("*").alias("n_terms"),
-            F.sum("df").alias("n_postings"),
+            F.sum(first).alias("n_terms"),
+            F.sum(F.col("df") * first).alias("n_postings"),
             F.sum(
                 F.length("doc_ids_bin") + F.length("tfs_bin") + F.length("doc_lens_bin")
             ).alias("bytes"),

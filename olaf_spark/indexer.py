@@ -65,7 +65,8 @@ SEGMENT_SCHEMA = (
 )
 
 POSTINGS_SCHEMA = (
-    "term_id long, df long, doc_ids_bin binary, tfs_bin binary, doc_lens_bin binary, "
+    "term_id long, df long, chunk int, "
+    "doc_ids_bin binary, tfs_bin binary, doc_lens_bin binary, "
     "block_lasts array<long>, block_maxes array<double>"
 )
 
@@ -219,6 +220,7 @@ def _make_pack_stage1(lo: int, width: int, n_buckets: int):
 
 def _make_merge_fn(n_docs: int, avgdl: float, cfg: EngineConfig):
     k1, b, block_size = cfg.k1, cfg.b, cfg.block_size
+    max_row_postings = cfg.max_row_postings
 
     def _merge_stream(pdf_iter) -> "pd.DataFrame":
         """One sorted partition of segment rows -> one global posting row per
@@ -243,8 +245,13 @@ def _make_merge_fn(n_docs: int, avgdl: float, cfg: EngineConfig):
         row_starts = np.flatnonzero(row_new)
         row_ends = np.append(row_starts[1:], len(pdf))
 
+        # head-term row cap, aligned to block_size so block metadata stays
+        # chunk-local (config docstring: no task/read depends on one term
+        # fitting one row at 10^12 docs)
+        cap = max(block_size, (max_row_postings // block_size) * block_size)
+
         all_ids, all_tfs, all_dls = [], [], []
-        out_terms, dfs, group_starts = [], [], []
+        out_terms, dfs, chunks, group_starts = [], [], [], []
         blk_lasts, blk_maxes = [], []
         pos = 0
         for s, e in zip(row_starts, row_ends):
@@ -253,20 +260,25 @@ def _make_merge_fn(n_docs: int, avgdl: float, cfg: EngineConfig):
             )
             tfs = np.concatenate([varbyte_decode(tf_bufs[i]) for i in range(s, e)])
             dls = np.concatenate([varbyte_decode(dl_bufs[i]) for i in range(s, e)])
-            w = idf(n_docs, int(ids.size))
-            lasts, bmax = block_maxes(
-                ids, tfs.astype(np.float64), dls.astype(np.float64),
-                w, k1, b, avgdl, block_size,
-            )
-            out_terms.append(terms[s])
-            dfs.append(int(ids.size))
-            group_starts.append(pos)
-            pos += ids.size
-            all_ids.append(ids)
-            all_tfs.append(tfs)
-            all_dls.append(dls)
-            blk_lasts.append(lasts.tolist())
-            blk_maxes.append(bmax.tolist())
+            df_full = int(ids.size)
+            w = idf(n_docs, df_full)
+            for ci, c0 in enumerate(range(0, df_full, cap)):
+                c1 = min(c0 + cap, df_full)
+                c_ids, c_tfs, c_dls = ids[c0:c1], tfs[c0:c1], dls[c0:c1]
+                lasts, bmax = block_maxes(
+                    c_ids, c_tfs.astype(np.float64), c_dls.astype(np.float64),
+                    w, k1, b, avgdl, block_size,
+                )
+                out_terms.append(terms[s])
+                dfs.append(df_full)  # FULL df on every chunk: idf unchanged
+                chunks.append(ci)
+                group_starts.append(pos)
+                pos += c_ids.size
+                all_ids.append(c_ids)
+                all_tfs.append(c_tfs)
+                all_dls.append(c_dls)
+                blk_lasts.append(lasts.tolist())
+                blk_maxes.append(bmax.tolist())
 
         cat = np.concatenate
         gs = np.asarray(group_starts, dtype=np.int64)
@@ -274,6 +286,7 @@ def _make_merge_fn(n_docs: int, avgdl: float, cfg: EngineConfig):
             {
                 "term_id": np.asarray(out_terms, dtype=np.int64),
                 "df": np.asarray(dfs, dtype=np.int64),
+                "chunk": np.asarray(chunks, dtype=np.int32),
                 "doc_ids_bin": encode_grouped(cat(all_ids), gs, delta=True),
                 "tfs_bin": encode_grouped(cat(all_tfs), gs, delta=False),
                 "doc_lens_bin": encode_grouped(cat(all_dls), gs, delta=False),
@@ -537,10 +550,13 @@ def build_index(
     from pyspark.sql import Observation
 
     obs = Observation("post_stats")
+    # chunked head terms repeat (term_id, df) on every chunk row -> count
+    # terms and sum df over first chunks only
+    first = (F.col("chunk") == 0).cast("long")
     postings = postings.observe(
         obs,
-        F.count(F.lit(1)).alias("n_terms"),
-        F.sum("df").alias("n_postings"),
+        F.sum(first).alias("n_terms"),
+        F.sum(F.col("df") * first).alias("n_postings"),
         F.sum(
             F.length("doc_ids_bin") + F.length("tfs_bin") + F.length("doc_lens_bin")
         ).alias("bytes"),

@@ -94,7 +94,10 @@ def load_term_postings(
     rows = _fetch_posting_rows(index, qterms)
     tombstones = index.tombstones()
     out = []
-    for r in sorted(rows, key=lambda r: id_to_term[r["term_id"]]):
+    # chunked head terms arrive as several rows (chunk 0..n, doc-disjoint);
+    # one TermPostings per row is fine for every scorer — a doc lives in
+    # exactly one chunk, so per-doc accumulation order is still term order
+    for r in sorted(rows, key=lambda r: (id_to_term[r["term_id"]], r["chunk"])):
         ids, tfs = unpack_postings(bytes(r["doc_ids_bin"]), bytes(r["tfs_bin"]))
         dls = varbyte_decode(bytes(r["doc_lens_bin"]))
         if tombstones:

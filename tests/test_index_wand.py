@@ -101,6 +101,47 @@ def test_full_range_int64_doc_ids(spark, tmp_path):
         assert_identical(wand_topk(lists, K), want)
 
 
+def test_head_term_row_chunking(spark, tmp_path):
+    """Terms with df > max_row_postings split into doc-range-chunked rows
+    (each carrying the FULL df) — at 10^12 docs a universal term's single
+    posting row would be ~370 GB, so no code path may assume one term fits
+    one row. Ranks and scores must be unchanged by chunking."""
+    import pyarrow.dataset as ds
+
+    from pyspark.sql import functions as F
+
+    n = 300
+    cfg = EngineConfig(block_size=8, max_row_postings=32)
+    pages = (
+        gen_pages(spark, n, seed=21)
+        .select("doc_id", F.concat(F.col("text"), F.lit(" everywhere")).alias("text"))
+    )
+    oracle = OracleIndex.build([(r["doc_id"], r["text"]) for r in pages.collect()], cfg)
+    index = build_index(spark, pages, str(tmp_path / "ix"), cfg, n_buckets=4)
+    # the universal term must be physically chunked
+    import os
+
+    tbl = ds.dataset(
+        os.path.join(index.index_dir, "postings"), format="parquet", partitioning="hive"
+    ).to_table(columns=["term_id", "df", "chunk"]).to_pylist()
+    by_term = {}
+    for r in tbl:
+        by_term.setdefault(r["term_id"], []).append(r)
+    chunked = [rows for rows in by_term.values() if len(rows) > 1]
+    assert chunked, "expected at least one chunked head term"
+    assert any(len(rows) >= n // 32 for rows in chunked)
+    for rows in chunked:
+        assert len({r["df"] for r in rows}) == 1  # full df on every chunk
+    # stats count each term once
+    assert index.stats["n_terms"] == len(oracle.postings)
+    assert index.stats["n_postings"] == sum(len(v) for v in oracle.postings.values())
+    for q in ["everywhere", "everywhere needle97", "everywhere w2 w300"]:
+        lists = load_term_postings(spark, index, q)
+        want = oracle.topk(q, K)
+        assert_identical(vectorized_topk(lists, K), want)
+        assert_identical(wand_topk(lists, K), want)
+
+
 def test_universal_head_term_no_truncation(spark, tmp_path):
     """A term present in EVERY document — the skew case where Olaf truncates
     at maxDBCollisions=2000 and drops postings (olaf_db.c:366-375). We keep
