@@ -39,10 +39,11 @@ class EngineConfig:
     # posting-list block size for block-max WAND metadata
     # (reference analogue: 4096-slot write buffer, olaf_fp_db_writer.c:25-27)
     block_size: int = 128
-    # index-build partitioning
-    n_segments: int = 32           # shuffle partitions for the term shuffle
-    salt_df_threshold: int = 100_000  # terms with df above this get salted
-    salt_buckets: int = 16
+    # index-build partitioning. Skew note: "salting" head terms is not
+    # needed here — doc_id-range bucketing IS the salt (a head term's
+    # postings arrive as n_buckets disjoint runs built in parallel), and
+    # max_row_postings bounds the merged rows.
+    n_segments: int = 32           # term-hash shards (postings hive layout)
     # head-term row cap: a term with df above this is stored as several
     # doc-range-chunked posting rows (each carrying the FULL df, so scores
     # are unchanged) instead of one mega-row. At 10^12 docs a universal
