@@ -146,17 +146,21 @@ class IndexGroup:
         tbs = sorted({i % cfg.n_segments for i in qids})
         flt = pc.field("tb").isin(tbs) & pc.field("term_id").isin(qids)
         per_term: dict[str, list[dict]] = {}
-        for p in self.parts:
+        part_df: dict[tuple[str, int], int] = {}
+        for pi, p in enumerate(self.parts):
             for r in p.dataset().to_table(filter=flt).to_pylist():
-                per_term.setdefault(id_to_term[r["term_id"]], []).append(r)
+                term = id_to_term[r["term_id"]]
+                per_term.setdefault(term, []).append(r)
+                # every row of a term within one part carries that part's
+                # full df — record it once per (term, part)
+                part_df[(term, pi)] = int(r["df"])
 
         ts = self.tombstones()
         ts_arr = np.fromiter(ts, dtype=np.int64) if ts else None
         out: list[TermPostings] = []
         for term in sorted(per_term):
             rows = per_term[term]
-            # chunk rows repeat the full per-part df: count each part once
-            df_total = sum(int(r["df"]) for r in rows if int(r["chunk"]) == 0)
+            df_total = sum(v for (t, _), v in part_df.items() if t == term)
             w = idf_fn(self.n_docs, df_total)
             ids_l, tfs_l, dls_l = [], [], []
             for r in rows:

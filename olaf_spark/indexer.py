@@ -223,17 +223,26 @@ def _make_merge_fn(n_docs: int, avgdl: float, cfg: EngineConfig):
     max_row_postings = cfg.max_row_postings
 
     def _merge_stream(pdf_iter) -> "pd.DataFrame":
-        """One sorted partition of segment rows -> one global posting row per
-        term. Runs are sorted by doc_id within a bucket and buckets are
+        """One sorted partition of segment rows -> chunked global posting
+        rows. Runs are sorted by doc_id within a bucket and buckets are
         disjoint doc_id ranges, so concatenation in (term, bucket) order IS
         the merge (Olaf's store_cached bulk load / sorted B+tree insert).
-        Re-encoding across all terms is one vectorized encode_grouped call.
+
+        Doc-range parallel: the shuffle range-partitions on (tb, term_id,
+        bucket), so a head term's runs may SPLIT across tasks — each task
+        merges its contiguous bucket range only, and no task ever holds a
+        whole 10^12-scale term. df arrives precomputed on every run row
+        (df_full, an exact sum of run n_docs done as a cheap pre-agg), so
+        idf and block maxes are exact regardless of which task packs which
+        range. `chunk` is a task-local ordinal (rows of one term are
+        doc-range disjoint; nothing depends on chunk numbering).
         """
         batches = [p for p in pdf_iter if len(p)]
         if not batches:
             return
         pdf = pd.concat(batches, ignore_index=True)
         terms = pdf["term_id"].to_numpy(dtype=np.int64)
+        df_fulls = pdf["df_full"].to_numpy(dtype=np.int64)
         # plain object arrays: .iloc in the hot loop costs ~10us per access,
         # which at millions of segment rows turned the merge superlinear
         id_bufs = pdf["doc_ids_bin"].to_numpy()
@@ -260,10 +269,11 @@ def _make_merge_fn(n_docs: int, avgdl: float, cfg: EngineConfig):
             )
             tfs = np.concatenate([varbyte_decode(tf_bufs[i]) for i in range(s, e)])
             dls = np.concatenate([varbyte_decode(dl_bufs[i]) for i in range(s, e)])
-            df_full = int(ids.size)
+            df_full = int(df_fulls[s])
             w = idf(n_docs, df_full)
-            for ci, c0 in enumerate(range(0, df_full, cap)):
-                c1 = min(c0 + cap, df_full)
+            local_n = int(ids.size)  # this task's doc-range portion, <= df_full
+            for ci, c0 in enumerate(range(0, local_n, cap)):
+                c1 = min(c0 + cap, local_n)
                 c_ids, c_tfs, c_dls = ids[c0:c1], tfs[c0:c1], dls[c0:c1]
                 lasts, bmax = block_maxes(
                     c_ids, c_tfs.astype(np.float64), c_dls.astype(np.float64),
@@ -527,43 +537,54 @@ def build_index(
     t0 = time.time()
     merge_fn = _make_merge_fn(n_docs, avgdl, cfg)
     segments = spark.read.parquet(seg_dir)
-    # Shard by term-hash (tb): all bucket-runs of a term land together for
-    # the streaming concat-merge, and the output is hive-partitioned by tb
-    # so the serving path prunes to ~|q| directories. The shuffle itself is
-    # RANGE-partitioned on (tb, term) into n_merge_tasks > n_segments:
+    from pyspark.sql import Observation
+
+    # exact per-term df from run n_docs — a cheap pre-agg whose join onto
+    # the runs lets the merge split a term ACROSS tasks (Catalyst broadcasts
+    # this table when small, shuffle-joins at 10^9-term scale); its
+    # Observation also yields the global term/posting counts for free
+    term_obs = Observation("term_stats")
+    df_tbl = (
+        segments.groupBy("term_id")
+        .agg(F.sum("n_docs").alias("df_full"))
+        .observe(
+            term_obs,
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("df_full").alias("n_postings"),
+        )
+    )
+    # Shard by term-hash (tb): the output is hive-partitioned by tb so the
+    # serving path prunes to ~|q| directories. The shuffle itself is
+    # RANGE-partitioned on (tb, term_id, bucket) into n_merge_tasks:
     #   * hash-repartition(32, "tb") pigeonholes 32 shard values into 32
     #     partitions (~1/e empty, others stacked 2-3x) and lets head-term
     #     shards straggle — measured merge scaling was 1.4x from 4->16 cores;
-    #   * range partitioning keeps every (tb, term) key in exactly ONE
-    #     partition (equal keys can't split across range bounds), balances
-    #     by sampled row count, and each tb dir just receives a handful of
-    #     term-sorted files — row-group stats still prune within them.
+    #   * range partitioning balances by sampled row count, each tb dir
+    #     receives a handful of term-sorted files (row-group stats prune),
+    #     and including `bucket` in the key means a 10^12-scale head term's
+    #     runs can SPLIT across tasks — no task ever materializes a whole
+    #     mega-term, only its contiguous bucket range (df arrives via the
+    #     pre-agg, so scores don't depend on task boundaries).
     n_merge_tasks = max(cfg.n_segments, n_merge_tasks or 0, 128)
     postings = (
-        segments.withColumn("tb", shard_from_id_col(F.col("term_id"), cfg.n_segments))
-        .repartitionByRange(n_merge_tasks, "tb", "term_id")
+        segments.join(df_tbl, "term_id")
+        .withColumn("tb", shard_from_id_col(F.col("term_id"), cfg.n_segments))
+        .repartitionByRange(n_merge_tasks, "tb", "term_id", "bucket")
         .sortWithinPartitions("term_id", "bucket")
         .mapInPandas(merge_fn, POSTINGS_SCHEMA)
         .withColumn("tb", shard_from_id_col(F.col("term_id"), cfg.n_segments))
     )
-    # postings stats ride the write via the Observation API — no re-scan job
-    from pyspark.sql import Observation
-
+    # byte stats ride the write via the Observation API — no re-scan job
     obs = Observation("post_stats")
-    # chunked head terms repeat (term_id, df) on every chunk row -> count
-    # terms and sum df over first chunks only
-    first = (F.col("chunk") == 0).cast("long")
     postings = postings.observe(
         obs,
-        F.sum(first).alias("n_terms"),
-        F.sum(F.col("df") * first).alias("n_postings"),
         F.sum(
             F.length("doc_ids_bin") + F.length("tfs_bin") + F.length("doc_lens_bin")
         ).alias("bytes"),
     )
     postings.write.mode("overwrite").partitionBy("tb").parquet(post_dir)
     merge_wall = time.time() - t0
-    post_stats = obs.get
+    post_stats = {**obs.get, **term_obs.get}
     _write_lineage(
         [
             dict(

@@ -142,6 +142,31 @@ def test_head_term_row_chunking(spark, tmp_path):
         assert_identical(wand_topk(lists, K), want)
 
 
+def test_merge_split_across_tasks(spark, tmp_path):
+    """Doc-range-parallel merge: with far more merge ranges than (tb, term,
+    bucket) keys, head terms' runs split across merge tasks — df comes from
+    the pre-agg so ranks/scores must be unaffected by task boundaries."""
+    from pyspark.sql import functions as F
+
+    n = 250
+    cfg = EngineConfig(block_size=8)
+    pages = (
+        gen_pages(spark, n, seed=31)
+        .select("doc_id", F.concat(F.col("text"), F.lit(" everywhere")).alias("text"))
+    )
+    oracle = OracleIndex.build([(r["doc_id"], r["text"]) for r in pages.collect()], cfg)
+    index = build_index(
+        spark, pages, str(tmp_path / "ix"), cfg, n_buckets=8, n_merge_tasks=2048
+    )
+    assert index.stats["n_terms"] == len(oracle.postings)
+    assert index.stats["n_postings"] == sum(len(v) for v in oracle.postings.values())
+    for q in ["everywhere", "everywhere needle97", "everywhere w2 w300"]:
+        lists = load_term_postings(spark, index, q)
+        want = oracle.topk(q, K)
+        assert_identical(vectorized_topk(lists, K), want)
+        assert_identical(wand_topk(lists, K), want)
+
+
 def test_universal_head_term_no_truncation(spark, tmp_path):
     """A term present in EVERY document — the skew case where Olaf truncates
     at maxDBCollisions=2000 and drops postings (olaf_db.c:366-375). We keep
