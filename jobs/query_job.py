@@ -11,8 +11,10 @@ parquet when --out is given, else printed as JSON lines.
 
 Two execution paths, rank-identical:
   * few queries  -> driver-side serving scorer (vectorized / block-max WAND)
-  * many queries -> distributed DataFrame scorer (olaf_spark.scorer) — one
-    Spark job for the whole batch.
+  * many queries -> --method distributed: the whole batch scored as ONE
+    Spark job over the materialized index (olaf_spark.batch) — executors
+    decode the packed posting rows of the broadcast query terms; no
+    per-query job, no corpus re-tokenize.
 """
 
 from __future__ import annotations
@@ -28,7 +30,11 @@ def main() -> None:
     ap.add_argument("--index", required=True)
     ap.add_argument("--queries", required=True, help="text file, one query per line")
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--method", default="vectorized", choices=["vectorized", "wand", "exhaustive"])
+    ap.add_argument(
+        "--method",
+        default="vectorized",
+        choices=["vectorized", "wand", "exhaustive", "distributed"],
+    )
     ap.add_argument("--out", default=None, help="parquet output path (default: stdout JSON)")
     args = ap.parse_args()
 
@@ -40,6 +46,20 @@ def main() -> None:
 
     with open(args.queries) as f:
         queries = [line.strip() for line in f if line.strip()]
+
+    if args.method == "distributed":
+        from olaf_spark.batch import batch_query_index
+
+        out_df = batch_query_index(
+            spark, index, list(enumerate(queries)), k=args.k
+        ).select("query_id", "rank", "doc_id", "score")
+        if args.out:
+            out_df.write.mode("overwrite").parquet(args.out)
+        else:
+            for r in out_df.orderBy("query_id", "rank").collect():
+                print(json.dumps(r.asDict()))
+        spark.stop()
+        return
 
     rows = []
     for qid, q in enumerate(queries):

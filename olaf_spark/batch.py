@@ -1,0 +1,178 @@
+"""Distributed batch BM25: score a whole query batch against the
+materialized index in ONE Spark job.
+
+Reference analogue: Olaf's bulk-query protocol — the benchmark harness
+queries 35+15 files per corpus doubling through one long-lived process
+(`eval/olaf_benchmark/olaf_benchmark.rb:76-81`), and the CLI accepts many
+query files in one invocation (`olaf.c` query loop). The driver-side
+serving scorer (wand.py) answers ONE query at ~ms latency; this module is
+the throughput path: B queries as one DataFrame plan over the packed
+posting rows, executed by the cluster.
+
+Shape (100 TB / 1000 executors):
+
+  driver    tokenize B queries (tiny), term_id each term, broadcast
+            {term_id -> [(query_id, term)]} + (N, avgdl, k1, b, tombstones)
+  scan      postings parquet pruned by hive partition (tb) AND row-group
+            stats (term_id isin) -> ~|distinct terms| rows read, not the
+            corpus; NO join — the query side rides the broadcast
+  decode    mapInPandas: one Python invocation per Arrow batch of posting
+            rows; numpy varbyte decode once per row, contributions computed
+            once per (term, doc) and fanned out to every subscribed query
+  aggregate groupBy(query_id, doc_id) with the deterministic ascending-term
+            float64 fold (same order as the oracle and the serving scorer)
+  top-k     rank<=k window per query_id: Spark plans a WindowGroupLimit,
+            i.e. a map-side partial top-k per partition BEFORE the shuffle,
+            so the exchange carries <= k rows per (partition, query), never
+            a head-term query's full match set
+
+Rank- and score-identical to wand.query_index / the DuckDB oracle per
+query (tests/test_batch.py, CORRECTNESS `bm25_batch_distributed`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from olaf_spark.codec import unpack_postings, varbyte_decode
+from olaf_spark.indexer import Index, term_id_py
+from olaf_spark.scorer import idf as idf_fn
+from olaf_spark.tokenize import tokenize_py
+
+PARTIAL_SCHEMA = "query_id long, doc_id long, term string, contrib double"
+
+
+def _make_score_partials(
+    subs: dict[int, list[tuple[int, str]]],
+    n_docs: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    tombstones: frozenset[int],
+):
+    """mapInPandas fn: posting rows -> (query_id, doc_id, term, contrib).
+
+    Decode + BM25 contribution happen ONCE per posting row; queries sharing
+    a term reuse the same contribution arrays (BM25 term contributions do
+    not depend on the query, only on (term, doc) stats).
+    """
+    ts_arr = np.fromiter(tombstones, dtype=np.int64) if tombstones else None
+
+    def score(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            out_qid, out_doc, out_term, out_contrib = [], [], [], []
+            terms_np = pdf["term_id"].to_numpy(dtype=np.int64)
+            dfs_np = pdf["df"].to_numpy(dtype=np.int64)
+            id_bufs = pdf["doc_ids_bin"].to_numpy()
+            tf_bufs = pdf["tfs_bin"].to_numpy()
+            dl_bufs = pdf["doc_lens_bin"].to_numpy()
+            for i in range(len(pdf)):
+                subscribers = subs.get(int(terms_np[i]))
+                if not subscribers:
+                    continue  # row-group stats pruning is approximate
+                ids, tfs = unpack_postings(bytes(id_bufs[i]), bytes(tf_bufs[i]))
+                dls = varbyte_decode(bytes(dl_bufs[i]))
+                ids = ids.astype(np.int64)
+                if ts_arr is not None:
+                    keep = ~np.isin(ids, ts_arr)
+                    ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                if ids.size == 0:
+                    continue
+                w = idf_fn(n_docs, int(dfs_np[i]))
+                tfs_f = tfs.astype(np.float64)
+                dls_f = dls.astype(np.float64)
+                # association order matches oracle: idf * (tf*(k1+1)/denom)
+                contrib = w * (
+                    tfs_f * (k1 + 1.0)
+                    / (tfs_f + k1 * (1.0 - b + b * dls_f / avgdl))
+                )
+                for qid, term in subscribers:
+                    out_qid.append(np.full(ids.size, qid, dtype=np.int64))
+                    out_doc.append(ids)
+                    out_term.append(np.full(ids.size, term, dtype=object))
+                    out_contrib.append(contrib)
+            if out_qid:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_qid),
+                        "doc_id": np.concatenate(out_doc),
+                        "term": np.concatenate(out_term),
+                        "contrib": np.concatenate(out_contrib),
+                    }
+                )
+
+    return score
+
+
+def batch_query_index(
+    spark: SparkSession,
+    index: Index,
+    queries: Iterable[tuple[int, str]],
+    k: int | None = None,
+    min_score: float | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, score, rank) — BM25 top-k for EVERY query in the
+    batch, as one distributed plan over the materialized index.
+
+    queries: (query_id, query_text) pairs. k/min_score default to the
+    index config's max_results / min_score (olaf_config.c:89-100).
+    """
+    cfg = index.cfg
+    if k is None:
+        k = cfg.max_results
+    if min_score is None:
+        min_score = cfg.min_score
+
+    # ---- driver side: tokenize the batch, build the term subscription map --
+    subs: dict[int, list[tuple[int, str]]] = {}
+    for qid, text in queries:
+        for term in sorted(set(tokenize_py(text, cfg))):
+            subs.setdefault(term_id_py(term), []).append((int(qid), term))
+    if not subs:
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, score double, rank long"
+        )
+    qids_terms = sorted(subs)
+    tbs = sorted({t % cfg.n_segments for t in qids_terms})
+
+    # ---- one scan: hive pruning on tb, row-group pruning on term_id --------
+    postings = index.postings(spark).where(
+        F.col("tb").isin(tbs) & F.col("term_id").isin(qids_terms)
+    )
+    partials = postings.mapInPandas(
+        _make_score_partials(
+            subs, index.n_docs, index.avgdl, cfg.k1, cfg.b,
+            frozenset(index.tombstones()),
+        ),
+        PARTIAL_SCHEMA,
+    )
+
+    # ---- deterministic fold: ascending term order, float64 (oracle order) --
+    scored = partials.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("score")
+    )
+    if min_score > 0.0:
+        scored = scored.where(F.col("score") >= F.lit(float(min_score)))
+
+    # ---- per-query bounded top-k: rank<=k plans as WindowGroupLimit --------
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "doc_id", "score", F.col("rank").cast("long").alias("rank")
+        )
+    )

@@ -155,7 +155,8 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_bm25(query_terms: list[str], k: int) -> str:
+def _sql_bm25(query_terms: list[str], k: int, min_score: float = 0.0, query_id: int | None = None) -> str:
+    qid_col = "" if query_id is None else f"{query_id}::BIGINT AS query_id, "
     terms_list = ", ".join(f"'{t}'" for t in sorted(set(query_terms)))
     return f"""
 WITH {SQL_TF}
@@ -181,16 +182,38 @@ WITH {SQL_TF}
   CROSS JOIN stats
   GROUP BY tf.doc_id
 )
-SELECT doc_id,
+SELECT {qid_col}doc_id,
        round(raw_score, 4)::DOUBLE AS score,
        row_number() OVER (ORDER BY raw_score DESC, doc_id ASC)::BIGINT AS rank
 FROM scored
+WHERE raw_score >= {min_score}
 ORDER BY raw_score DESC, doc_id ASC
 LIMIT {k}
 """
 
 
 SQL_BM25_TOPK = _sql_bm25(FLAGSHIP_QUERY.split(), K)
+
+# min_score threshold (Olaf minMatchCount=6 analogue, olaf_config.c:89-94):
+# candidates below the score floor never enter the top-k heap. K_THRESH is
+# wider than the floor cuts, so the threshold (not the limit) shapes output.
+MIN_SCORE = 1.2
+K_THRESH = 50
+
+
+def q_bm25_topk_thresholded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = bm25_topk_adhoc(
+        spark, _docs(spark, sf_dir), FLAGSHIP_QUERY, k=K_THRESH, cfg=CFG,
+        min_score=MIN_SCORE,
+    )
+    return out.select(
+        "doc_id",
+        F.round("score", 4).cast("double").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_BM25_TOPK_THRESHOLDED = _sql_bm25(FLAGSHIP_QUERY.split(), K_THRESH, min_score=MIN_SCORE)
 
 
 # --------------------------------------------------------------------------
@@ -199,8 +222,15 @@ SQL_BM25_TOPK = _sql_bm25(FLAGSHIP_QUERY.split(), K)
 
 
 def q_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lang rides the tokenize projection (selected BEFORE the explode), so
+    # the only shuffle is the groupBy — no occurrence×docs join back on
+    # doc_id (which re-shuffled the full corpus of token rows).
+    from olaf_spark.tokenize import tokens_array
+
     docs = _docs(spark, sf_dir)
-    toks = tokens_df(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    toks = docs.select(
+        "lang", F.explode(tokens_array(F.col("text"), CFG)).alias("term")
+    )
     counts = toks.groupBy("lang", "term").agg(F.count("*").cast("long").alias("n"))
     w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term").asc())
     return (
@@ -538,6 +568,39 @@ def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf, "doc_id long, score double, rank long")
 
 
+# --------------------------------------------------------------------------
+# distributed batch BM25 (olaf_spark/batch.py): the whole query batch scored
+# as ONE Spark job over the materialized index — Olaf's bulk-query protocol
+# (eval/olaf_benchmark/olaf_benchmark.rb:76-81). Oracle: per-query BM25 SQL
+# UNION ALL'd with a query_id literal.
+# --------------------------------------------------------------------------
+
+BATCH_QUERY_SET = [
+    (0, FLAGSHIP_QUERY),
+    (1, "data query filter"),
+    (2, "window filter table"),
+]
+
+
+def q_bm25_batch_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olaf_spark.batch import batch_query_index
+
+    index = _get_index(spark, sf_dir)
+    out = batch_query_index(spark, index, BATCH_QUERY_SET, k=K)
+    return out.select(
+        "query_id",
+        "doc_id",
+        F.round("score", 4).cast("double").alias("score"),
+        "rank",
+    )
+
+
+SQL_BM25_BATCH = "\nUNION ALL\n".join(
+    f"SELECT * FROM ({_sql_bm25(q.split(), K, query_id=i)})"
+    for i, q in BATCH_QUERY_SET
+)
+
+
 def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
@@ -760,7 +823,7 @@ SELECT query_id, vec_id, cosine_sim, rank FROM (
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN — no SQL oracle (LSH plan); recall vs brute force is
-    pytest-verified (tests/test_ops_similarity.py)."""
+    pytest-verified (tests/test_ops.py)."""
     from olaf_spark.ops.similarity import ann_lsh_topk
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -846,6 +909,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_stats": q_term_stats,
     "corpus_stats": q_corpus_stats,
     "bm25_topk": q_bm25_topk,
+    "bm25_topk_thresholded": q_bm25_topk_thresholded,
     "top_terms_per_lang": q_top_terms_per_lang,
     "match_tally": q_match_tally,
     "dedup_exact": q_dedup_exact,
@@ -854,6 +918,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_by_nation": q_orders_by_nation,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "bm25_topk_wand": q_bm25_topk_wand,
+    "bm25_batch_distributed": q_bm25_batch_distributed,
     "bm25_incremental": q_bm25_incremental,
     "fragment_windows": q_fragment_windows,
     "result_meta_join": q_result_meta_join,
@@ -881,6 +946,7 @@ ORACLE_SQL: dict[str, str] = {
     "term_stats": SQL_TERM_STATS,
     "corpus_stats": SQL_CORPUS_STATS,
     "bm25_topk": SQL_BM25_TOPK,
+    "bm25_topk_thresholded": SQL_BM25_TOPK_THRESHOLDED,
     "top_terms_per_lang": SQL_TOP_TERMS_PER_LANG,
     "match_tally": SQL_MATCH_TALLY,
     "dedup_exact": SQL_DEDUP_EXACT,
@@ -889,6 +955,7 @@ ORACLE_SQL: dict[str, str] = {
     "orders_by_nation": SQL_ORDERS_BY_NATION,
     "embedding_cosine_topk": SQL_EMBEDDING_COSINE_TOPK,
     "bm25_topk_wand": SQL_BM25_TOPK,
+    "bm25_batch_distributed": SQL_BM25_BATCH,
     "bm25_incremental": SQL_BM25_TOPK,
     "fragment_windows": SQL_FRAGMENT_WINDOWS,
     "result_meta_join": SQL_RESULT_META_JOIN,

@@ -77,18 +77,47 @@ def append_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 16,
+    delta_name: str | None = None,
 ) -> Index:
     """Append new documents to an existing index as a delta segment-index.
 
     The delta is built with the BASE index's config — the config-freeze
     invariant (olaf_config.h:46-50) spans the whole group.
+
+    Commit protocol (Olaf analogue: LMDB's writer mutex + txn commit,
+    olaf_db.c:28-37): the delta directory is CLAIMED atomically with
+    os.mkdir before any data lands, so two concurrent appends can never
+    race onto the same delta_NNNN number; the delta only becomes visible
+    to readers when stats.json lands last (_delta_dirs filters on it).
+
+    delta_name pins the directory name — a Structured Streaming foreachBatch
+    sink passes delta_epoch_{epoch_id} so an at-least-once replayed batch
+    finds the committed delta and returns it instead of appending a
+    duplicate (idempotent under restart).
     """
     base = Index.load(base_dir)
-    n = len(_delta_dirs(base_dir))
-    delta_dir = os.path.join(base_dir, _DELTAS, f"delta_{n:04d}")
+    root = os.path.join(base_dir, _DELTAS)
+    os.makedirs(root, exist_ok=True)
+    if delta_name is not None:
+        delta_dir = os.path.join(root, delta_name)
+        if os.path.exists(os.path.join(delta_dir, "stats.json")):
+            return Index.load(delta_dir)  # committed replay: no-op
+        os.makedirs(delta_dir, exist_ok=True)
+    else:
+        n = len(os.listdir(root))  # count ALL entries incl. in-flight claims
+        while True:
+            delta_dir = os.path.join(root, f"delta_{n:04d}")
+            try:
+                os.mkdir(delta_dir)  # atomic claim (POSIX mkdir)
+                break
+            except FileExistsError:
+                n += 1
+    # resume=True: never rmtree the claimed dir (re-creating it would open a
+    # window where a concurrent append re-claims the same name); a replayed
+    # half-built epoch delta resumes from its lineage instead.
     return build_index(
         spark, new_docs, delta_dir, base.cfg,
-        text_col=text_col, id_col=id_col, n_buckets=n_buckets,
+        text_col=text_col, id_col=id_col, n_buckets=n_buckets, resume=True,
     )
 
 

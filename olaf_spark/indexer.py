@@ -475,6 +475,11 @@ def build_index(
         F.max(F.col(id_col)).alias("hi"),
     ).collect()[0]
     n_docs = int(bounds["n"])
+    if n_docs == 0:
+        raise ValueError(
+            f"build_index: input corpus is empty (0 rows in {id_col}/{text_col} "
+            "input) — refusing to write an index with n_docs=0"
+        )
     lo, hi = int(bounds["lo"]), int(bounds["hi"])
     bucket_width = max(1, (hi - lo) // n_buckets + 1)
 
@@ -541,18 +546,18 @@ def build_index(
 
     # exact per-term df from run n_docs — a cheap pre-agg whose join onto
     # the runs lets the merge split a term ACROSS tasks (Catalyst broadcasts
-    # this table when small, shuffle-joins at 10^9-term scale); its
-    # Observation also yields the global term/posting counts for free
-    term_obs = Observation("term_stats")
-    df_tbl = (
-        segments.groupBy("term_id")
-        .agg(F.sum("n_docs").alias("df_full"))
-        .observe(
-            term_obs,
-            F.count(F.lit(1)).alias("n_terms"),
-            F.sum("df_full").alias("n_postings"),
-        )
-    )
+    # this table when small, shuffle-joins at 10^9-term scale).
+    df_tbl = segments.groupBy("term_id").agg(F.sum("n_docs").alias("df_full"))
+    # n_terms/n_postings via a separate tiny action over the (packed,
+    # already-aggregated) table — NOT an Observation attached below the range
+    # exchange: repartitionByRange's sampling pass re-executes the join
+    # subtree, so a CollectMetrics there sees every row twice whenever the
+    # join is not broadcast (sort-merge at 10^9-term scale) and stats.json
+    # n_terms/n_postings + merge lineage would inflate ~2x.
+    trow = df_tbl.agg(
+        F.count(F.lit(1)).alias("n_terms"), F.sum("df_full").alias("n_postings")
+    ).collect()[0]
+    term_totals = {"n_terms": int(trow["n_terms"]), "n_postings": int(trow["n_postings"] or 0)}
     # Shard by term-hash (tb): the output is hive-partitioned by tb so the
     # serving path prunes to ~|q| directories. The shuffle itself is
     # RANGE-partitioned on (tb, term_id, bucket) into n_merge_tasks:
@@ -565,7 +570,10 @@ def build_index(
     #     runs can SPLIT across tasks — no task ever materializes a whole
     #     mega-term, only its contiguous bucket range (df arrives via the
     #     pre-agg, so scores don't depend on task boundaries).
-    n_merge_tasks = max(cfg.n_segments, n_merge_tasks or 0, 128)
+    # honor an explicit caller value verbatim (a small cluster may want fewer
+    # tasks); only apply the max(n_segments, 128) default when unset
+    if n_merge_tasks is None:
+        n_merge_tasks = max(cfg.n_segments, 128)
     postings = (
         segments.join(df_tbl, "term_id")
         .withColumn("tb", shard_from_id_col(F.col("term_id"), cfg.n_segments))
@@ -584,7 +592,7 @@ def build_index(
     )
     postings.write.mode("overwrite").partitionBy("tb").parquet(post_dir)
     merge_wall = time.time() - t0
-    post_stats = {**obs.get, **term_obs.get}
+    post_stats = {**obs.get, **term_totals}
     _write_lineage(
         [
             dict(

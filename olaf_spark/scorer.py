@@ -144,12 +144,27 @@ def bm25_scores(
     )
 
 
-def topk(scores: DataFrame, k: int) -> DataFrame:
-    """(doc_id, score, rank) — bounded top-k, deterministic tie-break."""
+def topk(scores: DataFrame, k: int, min_score: float = 0.0) -> DataFrame:
+    """(doc_id, score, rank) — bounded top-k, deterministic tie-break.
+
+    min_score > 0 drops candidates below the threshold BEFORE the heap —
+    Olaf's minMatchCount quality gate (olaf_config.c:89-94): low-evidence
+    matches never enter the result set. The filter rides the aggregate
+    (no extra shuffle).
+    """
+    if min_score > 0.0:
+        scores = scores.where(F.col("score") >= F.lit(float(min_score)))
     out = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
     # rank over the k surviving rows only — the window runs on <=k rows, the
-    # heavy lifting stays in TakeOrderedAndProject.
-    w = F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+    # heavy lifting stays in TakeOrderedAndProject. The partition key is a
+    # constant-valued but NON-foldable expression: all <=k rows land in one
+    # partition (correct global rank) without WindowExec's no-partition
+    # full-sort warning (a foldable literal would be optimized away).
+    w = F.row_number().over(
+        Window.partitionBy(F.col("doc_id") * F.lit(0)).orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+    )
     return out.withColumn("rank", w).select("doc_id", "score", "rank")
 
 
@@ -181,9 +196,11 @@ class AdhocIndex:
         total = self.postings_flat.agg(F.sum("tf")).collect()[0][0] or 0
         self.avgdl = total / self.n_docs if self.n_docs else 0.0
 
-    def topk(self, query_text: str, k: int = 10) -> DataFrame:
+    def topk(self, query_text: str, k: int | None = None, min_score: float | None = None) -> DataFrame:
+        k = self.cfg.max_results if k is None else k
+        min_score = self.cfg.min_score if min_score is None else min_score
         qidf = query_term_idfs(query_text, self.term_stats, self.n_docs, self.cfg)
-        return topk(bm25_scores(self.postings_flat, qidf, self.avgdl, self.cfg), k)
+        return topk(bm25_scores(self.postings_flat, qidf, self.avgdl, self.cfg), k, min_score)
 
     def unpersist(self):
         self.postings_flat.unpersist()
@@ -198,6 +215,7 @@ def bm25_topk_adhoc(
     cfg: EngineConfig = _DEFAULT,
     text_col: str = "text",
     id_col: str = "doc_id",
+    min_score: float | None = None,
 ) -> DataFrame:
     """End-to-end BM25 top-k without a prebuilt index (tokenizes the corpus).
 
@@ -216,4 +234,5 @@ def bm25_topk_adhoc(
     avgdl = total / n_docs if n_docs else 0.0
     term_stats = postings_flat.groupBy("term").agg(F.count("*").alias("df"))
     qidf = query_term_idfs(query_text, term_stats, n_docs, cfg)
-    return topk(bm25_scores(postings_flat, qidf, avgdl, cfg), k)
+    min_score = cfg.min_score if min_score is None else min_score
+    return topk(bm25_scores(postings_flat, qidf, avgdl, cfg), k, min_score)

@@ -137,7 +137,15 @@ def stream_index_appends(spark: SparkSession, base_dir: str, n_buckets: int = 8)
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        append_index(spark, batch_df, base_dir, n_buckets=n_buckets)
+        # delta name derived from epoch_id: foreachBatch is at-least-once, so
+        # a batch replayed after a restart (delta committed, checkpoint not)
+        # must find its own committed delta and no-op instead of appending
+        # the same documents as a second numbered delta (which would double
+        # postings and inflate df/N/avgdl).
+        append_index(
+            spark, batch_df, base_dir, n_buckets=n_buckets,
+            delta_name=f"delta_epoch_{int(epoch_id):010d}",
+        )
 
     return handle
 

@@ -139,7 +139,10 @@ def vectorized_topk(lists: list[TermPostings], k: int) -> list[tuple[int, float]
     Determinism: `lists` arrives sorted by term (load_term_postings), so
     concatenation order == ascending term order; the STABLE sort keeps
     equal doc_ids in that order, and np.add.reduceat folds each doc's
-    segment sequentially — exactly the oracle's float64 sum order.
+    segment in that order. reduceat uses numpy's pairwise summation, so
+    sums sit within 1 ulp of the oracle's strict sequential fold (the 4dp
+    rounding of every oracle comparison absorbs this); results are still
+    run-to-run deterministic for a fixed segment.
 
     Cost shape: each posting list is already doc_id-sorted, so the stable
     argsort is a timsort run-merge (near-linear), and top-k selection is
@@ -270,16 +273,28 @@ def query_index(
     spark: SparkSession,
     index: Index,
     query_text: str,
-    k: int = 10,
+    k: int | None = 10,
     method: str = "vectorized",
+    min_score: float | None = None,
 ) -> list[tuple[int, float]]:
     """Top-k (doc_id, score) from a materialized index.
 
     method: "vectorized" (default serving path), "wand" (block-max DAAT,
     the lazy-decode scale path), or "exhaustive" (test referent).
+
+    k=None uses cfg.max_results (Olaf maxResults=50, olaf_config.c:99-100);
+    min_score=None uses cfg.min_score (minMatchCount analogue,
+    olaf_config.c:89-94) — scores below the threshold never surface.
     """
+    if k is None:
+        k = index.cfg.max_results
+    if min_score is None:
+        min_score = index.cfg.min_score
     lists = load_term_postings(spark, index, query_text)
     if not lists:
         return []
     fn = {"vectorized": vectorized_topk, "wand": wand_topk, "exhaustive": exhaustive_topk}[method]
-    return fn(lists, k)
+    hits = fn(lists, k)
+    if min_score > 0.0:
+        hits = [(d, s) for d, s in hits if s >= min_score]
+    return hits

@@ -1,0 +1,108 @@
+"""Distributed batch BM25 (olaf_spark/batch.py): rank/score identity with
+the driver-side serving scorer, single-job execution (no per-query Spark
+job — Olaf's bulk-query protocol, eval/olaf_benchmark/olaf_benchmark.rb:
+76-81), and a plan whose top-k is a WindowGroupLimit (map-side partial
+top-k per query), never a full per-query sort."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from olaf_spark.batch import batch_query_index
+from olaf_spark.config import EngineConfig
+from olaf_spark.indexer import build_index
+from olaf_spark.synth import gen_pages
+from olaf_spark.wand import query_index
+
+N_DOCS = 200
+K = 10
+CFG = EngineConfig(block_size=8)
+QUERIES = [
+    (0, "w1 w50 w1000"),
+    (1, "w2 w17 w300"),
+    (2, "needle97 w2"),
+    (3, "w3 w5 w7 w11"),
+    (4, "zzz-not-in-corpus"),
+]
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    docs = gen_pages(spark, N_DOCS, seed=42).select("doc_id", "text")
+    d = str(tmp_path_factory.mktemp("batch") / "ix")
+    return build_index(spark, docs, d, CFG, n_buckets=4)
+
+
+def collect_batch(spark, index, queries, k=K, **kw):
+    rows = batch_query_index(spark, index, queries, k=k, **kw).collect()
+    out: dict[int, list[tuple[int, float]]] = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        out.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    return out
+
+
+def test_batch_matches_serving_scorer_exactly(spark, index):
+    got = collect_batch(spark, index, QUERIES)
+    for qid, text in QUERIES:
+        want = query_index(spark, index, text, k=K)
+        have = got.get(qid, [])
+        assert [d for d, _ in have] == [d for d, _ in want], (qid, have, want)
+        for (hd, hs), (wd, ws) in zip(have, want):
+            # batch folds in exact oracle order (sequential ascending-term
+            # float64); the vectorized serving scorer's np.add.reduceat is
+            # pairwise -> within 1 ulp of that, hence isclose not ==
+            assert math.isclose(hs, ws, rel_tol=1e-12, abs_tol=1e-15), (qid, hd, hs, ws)
+
+
+def test_no_term_query_absent_from_output(spark, index):
+    got = collect_batch(spark, index, QUERIES)
+    assert 4 not in got  # no corpus term -> no rows for that query
+    assert batch_query_index(spark, index, [], k=K).count() == 0
+
+
+def test_one_job_for_the_whole_batch(spark, index):
+    """Job count must not grow with batch size: B queries = one plan, one
+    scan, one aggregation — never a per-query Spark job."""
+    tracker = spark.sparkContext.statusTracker()
+
+    def n_jobs_for(queries):
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        batch_query_index(spark, index, queries, k=K).collect()
+        return len(tracker.getJobIdsForGroup(None) or []) - before
+
+    small = n_jobs_for(QUERIES[:1])
+    large = n_jobs_for(QUERIES)
+    assert large == small, (small, large)
+
+
+def test_batch_plan_shape(spark, index):
+    """Partition pruning reaches the scan; top-k is a WindowGroupLimit
+    (map-side partial top-k), not a full per-query sort; exactly one
+    MapInPandas decode step; no row-at-a-time Python."""
+    df = batch_query_index(spark, index, QUERIES, k=K)
+    jdf = df._jdf
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p = jdf.queryExecution().explainString(mode)
+    import re
+
+    assert "WindowGroupLimit" in p, p
+    assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 1, p
+    assert "BatchEvalPython" not in p
+    assert re.search(r"PartitionFilters: \[tb#\d+ IN", p), p
+    assert "PushedFilters: [In(term_id" in p, p
+
+
+def test_batch_respects_tombstones_and_min_score(spark, index):
+    victim = query_index(spark, index, "needle97", k=1)[0][0]
+    index.delete_docs([victim])
+    try:
+        got = collect_batch(spark, index, [(0, "needle97 w2")])
+        assert all(d != victim for d, _ in got.get(0, []))
+        full = collect_batch(spark, index, [(7, "w1 w50")], k=K)[7]
+        theta = full[2][1]
+        cut = collect_batch(spark, index, [(7, "w1 w50")], k=K, min_score=theta)[7]
+        assert cut == full[:3]
+    finally:
+        index.undelete_docs([victim])

@@ -145,6 +145,54 @@ def test_streaming_append_equals_clean_rebuild(spark, halves, tmp_path):
         assert_identical(group.topk(qq, K), oracle.topk(qq, K))
 
 
+def test_epoch_named_append_is_idempotent(spark, halves, tmp_path):
+    """At-least-once replay (Structured Streaming restart after a committed
+    delta but an uncommitted checkpoint): re-appending the same batch under
+    the same epoch-derived delta name must be a no-op, not a duplicate."""
+    pages, a, b = halves
+    base = str(tmp_path / "epoch")
+    build_index(spark, a, base, CFG, n_buckets=4)
+    append_index(spark, b, base, n_buckets=4, delta_name="delta_epoch_0000000007")
+    # replayed epoch: same name, same docs
+    append_index(spark, b, base, n_buckets=4, delta_name="delta_epoch_0000000007")
+    group = IndexGroup.load(base)
+    assert len(group.parts) == 2  # main + ONE delta, not two
+    oracle = OracleIndex.build([(r["doc_id"], r["text"]) for r in pages.collect()], CFG)
+    for q in QUERIES[:2]:
+        assert_identical(group.topk(q, K), oracle.topk(q, K))
+
+
+def test_concurrent_appends_get_distinct_deltas(spark, halves, tmp_path):
+    """Two appends racing on the numbered-delta namespace: the mkdir claim
+    must hand each a distinct delta_NNNN, and the resulting group must equal
+    a clean rebuild (no lost or doubled postings)."""
+    import threading
+
+    pages, a, b = halves
+    b1 = b.where("doc_id % 4 = 1")
+    b3 = b.where("doc_id % 4 = 3")
+    base = str(tmp_path / "race")
+    build_index(spark, a, base, CFG, n_buckets=4)
+
+    errs = []
+
+    def run(df):
+        try:
+            append_index(spark, df, base, n_buckets=2)
+        except Exception as e:  # surface thread failures in the main assert
+            errs.append(e)
+
+    t1 = threading.Thread(target=run, args=(b1,))
+    t2 = threading.Thread(target=run, args=(b3,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    group = IndexGroup.load(base)
+    assert len(group.parts) == 3
+    oracle = OracleIndex.build([(r["doc_id"], r["text"]) for r in pages.collect()], CFG)
+    for q in QUERIES[:2]:
+        assert_identical(group.topk(q, K), oracle.topk(q, K))
+
+
 def test_append_refuses_config_mismatch(spark, halves, tmp_path):
     _, a, b = halves
     base = str(tmp_path / "cfg")

@@ -82,6 +82,39 @@ def test_build_stage1_single_exchange(spark):
     assert "MapInPandas" in p  # the single vectorized pack step
 
 
+def test_top_terms_per_lang_has_no_join(spark):
+    """lang rides the tokenize projection (selected before the explode) —
+    the occurrence×docs join back on doc_id would re-shuffle the full corpus
+    of token rows for a column the scan already had."""
+    p = plan(eq.QUERIES["top_terms_per_lang"](spark, SF))
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert op not in p, p
+
+
+def test_build_rejects_empty_corpus(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").where("doc_id < 0")
+    from olaf_spark.indexer import build_index
+
+    with pytest.raises(ValueError, match="empty"):
+        build_index(spark, docs.select("doc_id", "text"), str(tmp_path / "ix"), EngineConfig())
+
+
+def test_query_index_honors_config_knobs(spark, tmp_path):
+    """k=None -> cfg.max_results; min_score thresholds the result set
+    (Olaf maxResults / minMatchCount analogues, olaf_config.c:89-100)."""
+    from olaf_spark.indexer import build_index
+    from olaf_spark.wand import query_index
+
+    docs = gen_pages(spark, 60, seed=9).select("doc_id", "text")
+    cfg = EngineConfig(max_results=7)
+    ix = build_index(spark, docs, str(tmp_path / "ixk"), cfg, n_buckets=2)
+    full = query_index(spark, ix, "w1 w2 w3", k=None)
+    assert len(full) == 7
+    theta = full[3][1]  # score of rank-4: threshold must keep exactly ranks 1-4
+    got = query_index(spark, ix, "w1 w2 w3", k=None, min_score=theta)
+    assert got == full[:4]
+
+
 def test_serving_reads_no_spark_jobs(spark, tmp_path):
     """Query serving never launches a Spark job (Olaf opens LMDB read-only,
     olaf_runner.c:34-39): the pyarrow path must answer with the Spark UI
