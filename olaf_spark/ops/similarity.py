@@ -54,13 +54,187 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return p / np.linalg.norm(p, axis=1, keepdims=True)
 
 
+def _plane_dot(vec_col, plane: np.ndarray):
+    """Left-associated float64 dot product against plane LITERALS.
+
+    An aggregate fold over zip_with (sequential, array order, 0.0 start) —
+    codegen emits a compact LOOP, where an unrolled v[1]*p1 + v[2]*p2 + ...
+    chain at dim 64 x 8 planes blew Janino's method-size limit and dropped
+    the stage to interpreted eval. The float result is bit-identical to the
+    SQL twin's explicit left-associated sum (lsh_bit_sql): both fold in
+    element order in float64, 0.0 + x == x exactly, and repr(float)
+    round-trips plane literals exactly in both engines — so signature bits
+    are engine-identical.
+    """
+    arr = F.array(*[F.lit(float(x)) for x in plane])
+    return F.aggregate(
+        F.zip_with(vec_col, arr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+
+
+def lsh_bit_sql(vec_sql: str, plane: np.ndarray) -> str:
+    """DuckDB twin of the sign bit of _plane_dot (1-based list indexing)."""
+    dot = " + ".join(f"{vec_sql}[{j + 1}] * {float(plane[j])!r}" for j in range(plane.size))
+    return f"(CASE WHEN ({dot}) >= 0 THEN 1 ELSE 0 END)"
+
+
 def lsh_signature_col(vec_col, planes: np.ndarray):
     """Column: bit-string signature (sign of dot with each plane)."""
     bits = []
     for p in planes:
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bits.append(F.when(_dot(vec_col, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+        bits.append(F.when(_plane_dot(vec_col, p) >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def lsh_band_cols(vec_col, planes: np.ndarray, bands: int) -> list:
+    """One integer band value per band: the band's sign bits packed into an
+    int (bit_0 is the band's high bit). Exact integer arithmetic on both
+    engines — the LSH bucket join key."""
+    n_planes = len(planes)
+    assert n_planes % bands == 0
+    per = n_planes // bands
+    out = []
+    for bi in range(bands):
+        val = F.lit(0)
+        for j in range(per):
+            bit = F.when(_plane_dot(vec_col, planes[bi * per + j]) >= 0, 1).otherwise(0)
+            val = val + bit * F.lit(2 ** (per - 1 - j))
+        out.append(val.cast("int"))
+    return out
+
+
+def lsh_band_sql(vec_sql: str, planes: np.ndarray, bands: int) -> list[str]:
+    """DuckDB twins of lsh_band_cols."""
+    n_planes = len(planes)
+    per = n_planes // bands
+    out = []
+    for bi in range(bands):
+        terms = [
+            f"{lsh_bit_sql(vec_sql, planes[bi * per + j])} * {2 ** (per - 1 - j)}"
+            for j in range(per)
+        ]
+        out.append("(" + " + ".join(terms) + ")")
+    return out
+
+
+def lsh_candidate_pairs(
+    emb: DataFrame,
+    n_planes: int = 8,
+    bands: int = 2,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs agreeing on >=1 LSH band — the vector
+    twin of MinHash-LSH banding (ops/dedup.minhash_lsh_pairs): a bucket-key
+    equi-join on (band, band_bits), NEVER an all-pairs cross join.
+
+    Scale notes (100 TB): the shuffle key is (band, band_value) — candidates
+    per vector ~ corpus / 2^(n_planes/bands) per band, tunable. A dense
+    cluster can still bloat one bucket; max_bucket_size drops buckets above
+    the cap before the self-join (an explicit recall knob, the exact
+    analogue of dedup's max_shingle_df / Olaf's maxDBCollisions cap,
+    olaf_db.c:366-375 — but deterministic and opt-in, default off).
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    v = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    bcols = lsh_band_cols(F.col("v"), planes, bands)
+    banded = v.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(bi).alias("band"), c.alias("bv"))
+                for bi, c in enumerate(bcols)
+            ])
+        ).alias("b"),
+    ).select("id", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "bv").agg(F.count("*").alias("n"))
+        banded = banded.join(
+            sizes.where(F.col("n") <= max_bucket_size), ["band", "bv"]
+        ).drop("n")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def embedding_near_dup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    bands: int = 2,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cosine_sim): LSH band candidates -> exact cosine verify.
+
+    The scale path for embedding near-dup (the brute-force self-join in
+    ops/dedup.embedding_near_dup_pairs stays as the exactness referent):
+    candidate generation is a bucket equi-join, verification touches only
+    candidate pairs. Deterministic hyperplanes make the WHOLE plan
+    SQL-expressible, so the driver oracle checks it end-to-end.
+    """
+    cand = lsh_candidate_pairs(
+        emb, n_planes, bands, seed, max_bucket_size, id_col, vec_col
+    )
+    v = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    va = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b", F.round(sim, 6).cast("double").alias("cosine_sim")
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
+def embedding_near_dups_lsh_sql(
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    bands: int = 2,
+    seed: int = 42,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB oracle twin of embedding_near_dup_pairs_lsh (identical plan:
+    same literal hyperplanes, same band values, same verify)."""
+    planes = hyperplanes(dim, n_planes, seed)
+    band_exprs = lsh_band_sql("v", planes, bands)
+    banded = "\nUNION ALL\n".join(
+        f"SELECT id, {bi} AS band, {e} AS bv FROM vecs" for bi, e in enumerate(band_exprs)
+    )
+    return f"""
+WITH vecs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM {table}),
+banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id
+)
+SELECT id_a, id_b,
+       round(list_cosine_similarity(va.v, vb.v), 6)::DOUBLE AS cosine_sim
+FROM cand JOIN vecs va ON va.id = id_a JOIN vecs vb ON vb.id = id_b
+WHERE round(list_cosine_similarity(va.v, vb.v), 6) >= {threshold}
+"""
 
 
 def ann_lsh_topk(
@@ -99,6 +273,90 @@ def ann_lsh_topk(
     sim = _dot(F.col("v"), q) / (_norm(F.col("v")) * F.lit(qn))
     return (
         cand.select("vec_id", F.round(sim, 6).cast("double").alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def build_ann_index(
+    spark,
+    emb: DataFrame,
+    out_dir: str,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Materialize the corpus with its LSH signature as a hive PARTITION
+    column, so an ANN probe prunes to matching partitions at the scan
+    instead of recomputing plane dot products over the whole corpus per
+    query (the ad-hoc ann_lsh_topk path's weakness at scale).
+
+    Layout: <out_dir>/vectors/sig=<bits>/... + ann_meta.json (dim,
+    n_planes, seed — the query side must hash with the SAME planes, the
+    config-freeze invariant olaf_config.h:46-50 again). 2^n_planes
+    directories: keep n_planes ~8-12 as the PARTITION key; at higher bit
+    widths partition on a fixed-length signature prefix and keep the full
+    signature as a row column (row-group stats then prune within the
+    partition) — same two-level pruning as the postings tb layout.
+    """
+    import json
+    import os
+
+    dim = len(emb.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    v = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("sig", lsh_signature_col(F.col("v"), planes))
+    os.makedirs(out_dir, exist_ok=True)
+    v.write.mode("overwrite").partitionBy("sig").parquet(
+        os.path.join(out_dir, "vectors")
+    )
+    with open(os.path.join(out_dir, "ann_meta.json"), "w") as f:
+        json.dump({"dim": dim, "n_planes": n_planes, "seed": seed}, f)
+    return out_dir
+
+
+def probe_signatures(query_vec: list[float], planes: np.ndarray, n_probes: int) -> list[str]:
+    """Query signature + the n_probes-1 nearest buckets (multi-probe: flip
+    the bits with the smallest |dot| margin first)."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qsig_bits = (planes @ qv >= 0).astype(int)
+    sigs = ["".join(map(str, qsig_bits))]
+    margins = np.abs(planes @ qv)
+    for j in np.argsort(margins)[: max(0, n_probes - 1)]:
+        flipped = qsig_bits.copy()
+        flipped[j] ^= 1
+        sigs.append("".join(map(str, flipped)))
+    return sigs
+
+
+def ann_topk_indexed(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probes: int = 3,
+) -> DataFrame:
+    """Approximate top-k against a build_ann_index directory: the probe's
+    sig IN-list prunes hive partitions at the scan — only ~n_probes/2^bits
+    of the corpus is read, no signature recompute."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "ann_meta.json")) as f:
+        meta = json.load(f)
+    planes = hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
+    sigs = probe_signatures(query_vec, planes, n_probes)
+    v = spark.read.parquet(os.path.join(index_dir, "vectors")).where(
+        F.col("sig").isin(sigs)
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = math.sqrt(float(np.dot(query_vec, query_vec)))
+    sim = _dot(F.col("v"), q) / (_norm(F.col("v")) * F.lit(qn))
+    return (
+        v.select("vec_id", F.round(sim, 6).cast("double").alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
         .limit(k)
     )

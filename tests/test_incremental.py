@@ -95,6 +95,55 @@ def test_compact_preserves_results_and_enables_wand(spark, grouped, tmp_path):
         assert_identical(query_index(spark, compacted, q, K, method="wand"), want)
 
 
+def test_compact_splits_head_terms_doc_range_parallel(spark, halves, tmp_path):
+    """Doc-range-parallel compaction: with a tiny row cap and many range
+    tasks, the head term 'w1' must come out as MANY doc-disjoint chunk rows
+    (no single task ever held its whole posting set), and every query must
+    still score identically to merged-on-read — through both the vectorized
+    and the (recomputed-block-max) WAND scorers."""
+    import numpy as np
+
+    from olaf_spark.codec import unpack_postings
+    from olaf_spark.indexer import term_id_py
+
+    pages, a, b = halves
+    cfg = EngineConfig(block_size=8, max_row_postings=8)
+    base = str(tmp_path / "mega")
+    build_index(spark, a, base, cfg, n_buckets=4)
+    append_index(spark, b, base, n_buckets=4)
+    group = IndexGroup.load(base)
+    compacted = compact_index(spark, base, str(tmp_path / "megac"), n_merge_tasks=16)
+
+    # head term: the zipf inverse-CDF's ceil starts at rank 2, so "w2" is
+    # the corpus's most frequent term ("w1" never occurs)
+    rows = [
+        r
+        for r in compacted.postings(spark).collect()
+        if r["term_id"] == term_id_py("w2")
+    ]
+    assert len(rows) > 4, len(rows)  # head term split into many chunk rows
+    all_ids: list[int] = []
+    for r in rows:
+        ids, _ = unpack_postings(bytes(r["doc_ids_bin"]), bytes(r["tfs_bin"]))
+        ids = ids.astype(np.int64)
+        assert np.all(np.diff(ids) > 0)  # each chunk internally sorted
+        assert len(r["block_lasts"]) == -(-ids.size // cfg.block_size)
+        all_ids.extend(ids.tolist())
+    assert len(all_ids) == len(set(all_ids))  # chunks doc-disjoint
+    # exact posting-set identity with the group's merged-on-read view
+    want_ids = sorted(
+        int(d)
+        for tp in group.load_term_postings("w2")
+        for d in tp.doc_ids.tolist()
+    )
+    assert sorted(all_ids) == want_ids
+
+    for q in QUERIES:
+        want = group.topk(q, K)
+        assert_identical(query_index(spark, compacted, q, K, method="vectorized"), want)
+        assert_identical(query_index(spark, compacted, q, K, method="wand"), want)
+
+
 def test_group_delete_then_compact_drops_postings(spark, halves, tmp_path):
     pages, a, b = halves
     base = str(tmp_path / "del")

@@ -109,6 +109,61 @@ def test_ann_lsh_recall(emb):
     assert len(exact & approx) >= 3
 
 
+def test_lsh_near_dup_pairs_subset_and_recall(emb):
+    """LSH near-dup = candidates (band bucket join) + exact verify: every
+    emitted pair must also pass the brute-force referent at the same
+    threshold (precision 1.0 by construction), the planted near-dup must be
+    found, and recall vs brute force must clear a floor."""
+    from olaf_spark.ops.similarity import embedding_near_dup_pairs_lsh
+
+    df, _ = emb
+    thr = 0.3
+    brute = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+             for r in embedding_near_dup_pairs(df, thr).collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+           for r in embedding_near_dup_pairs_lsh(df, thr, n_planes=8, bands=4).collect()}
+    assert set(lsh) <= set(brute)
+    for k, v in lsh.items():
+        assert v == brute[k]  # identical verify arithmetic
+    assert (0, 1) in lsh  # planted near-dup (cos ~1) always shares all bands
+    assert len(lsh) >= max(1, int(0.5 * len(brute))), (len(lsh), len(brute))
+
+
+def test_lsh_candidates_bucket_cap(emb):
+    """max_bucket_size drops over-full buckets BEFORE the self-join — the
+    skew guard. Cap of 1 means no bucket can pair anything."""
+    from olaf_spark.ops.similarity import lsh_candidate_pairs
+
+    df, _ = emb
+    uncapped = lsh_candidate_pairs(df, n_planes=4, bands=2).count()
+    capped = lsh_candidate_pairs(df, n_planes=4, bands=2, max_bucket_size=1).count()
+    assert uncapped > 0 and capped == 0
+
+
+def test_ann_index_partition_pruning_and_recall(spark, emb, tmp_path):
+    """Materialized signature layout: a probe's sig IN-list must prune hive
+    partitions AT THE SCAN (no signature recompute over the corpus), and
+    indexed multi-probe results must equal the ad-hoc LSH path's."""
+    from olaf_spark.ops.similarity import ann_topk_indexed, build_ann_index
+
+    df, base = emb
+    d = str(tmp_path / "ann")
+    build_ann_index(spark, df, d, n_planes=4, seed=42)
+    q = [float(x) for x in base[0]]
+    out = ann_topk_indexed(spark, d, q, k=5, n_probes=3)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p = out._jdf.queryExecution().explainString(mode)
+    import re
+
+    assert re.search(r"PartitionFilters: \[sig#\d+ IN", p), p
+    got = {r["vec_id"] for r in out.collect()}
+    adhoc = {r["vec_id"] for r in
+             ann_lsh_topk(df, q, k=5, n_planes=4, n_probes=3).collect()}
+    assert got == adhoc
+    exact = {r["vec_id"] for r in cosine_topk(df, q, k=5).collect()}
+    assert len(exact & got) >= 3  # recall floor, same as the ad-hoc test
+
+
 def test_batch_cosine_topk_shape(emb):
     df, _ = emb
     queries = df.where(F.col("vec_id") < 2).select(
