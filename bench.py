@@ -88,6 +88,20 @@ def main() -> None:
             lat.append((time.perf_counter() - t0) * 1000)
         lat.sort()
 
+        # distributed batch scoring: 32 queries as ONE Spark job over the
+        # materialized index (the bulk-query throughput path, olaf_spark/batch)
+        from olaf_spark.batch import batch_query_index
+
+        batch = [
+            (i, f"spark join window w{i}" if i % 2 else f"data query filter w{i}")
+            for i in range(32)
+        ]
+        t0 = time.perf_counter()
+        batch_query_index(spark, index, batch, k=10).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        batch32_s = round(time.perf_counter() - t0, 3)
+
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     spark.stop()
 
@@ -104,6 +118,8 @@ def main() -> None:
         "index_docs_per_s": round(n_docs / build_s, 1) if build_s > 0 else None,
         "bm25_serve_p50_ms": round(lat[len(lat) // 2], 2),
         "bm25_serve_p95_ms": round(lat[int(len(lat) * 0.95)], 2),
+        "bm25_batch32_s": batch32_s,
+        "bm25_batch_queries_per_s": round(32 / batch32_s, 1) if batch32_s > 0 else None,
         "parallelism": cpus,
     }
     print(json.dumps(out))

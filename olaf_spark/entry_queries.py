@@ -922,7 +922,10 @@ LIMIT {K}
 
 
 # --------------------------------------------------------------------------
-# multimodal plumbing (ops/multimodal.py) — rows-only checks (stubbed decode)
+# multimodal plumbing (ops/multimodal.py) — the decode backend is a
+# deterministic md5-derived fake (container has no media libs), which makes
+# the WHOLE mapInPandas pipeline SQL-expressible: the DuckDB oracle checks
+# schema, fan-out, and every derived value, not just row counts.
 # --------------------------------------------------------------------------
 
 
@@ -1065,9 +1068,12 @@ ORACLE_SQL: dict[str, str] = {
     "ann_lsh_bucket_topk": _sql_ann_lsh_bucket_topk(),
     "embedding_near_dups_lsh": _sql_embedding_near_dups_lsh(),
     "sessionize": SQL_SESSIONIZE,
-    # ann_lsh_topk / multimodal_* intentionally absent: non-SQL-expressible
-    # (LSH plan / stubbed decoders) -> driver records rows-only checks;
-    # they are pytest-verified instead.
+    "multimodal_image_meta": None,  # filled below (function-generated)
+    "multimodal_frame_sample": None,
+    # ann_lsh_topk intentionally absent: multi-probe margin ordering is an
+    # LSH plan choice -> driver records a rows-only check; its bucket
+    # variant (ann_lsh_bucket_topk) is fully oracle-checked and recall +
+    # partition pruning are pytest-verified (tests/test_ops.py).
 }
 
 from olaf_spark.ops.text import (  # noqa: E402
@@ -1081,3 +1087,8 @@ ORACLE_SQL["lang_id"] = lang_id_sql()
 ORACLE_SQL["quality_score"] = quality_score_sql()
 ORACLE_SQL["token_count"] = token_count_sql()
 ORACLE_SQL["doc_fingerprint"] = doc_fingerprint_sql()
+
+from olaf_spark.ops.multimodal import frame_sample_sql, image_meta_sql  # noqa: E402
+
+ORACLE_SQL["multimodal_image_meta"] = image_meta_sql()
+ORACLE_SQL["multimodal_frame_sample"] = frame_sample_sql()

@@ -187,10 +187,36 @@ def test_multimodal_image_meta(docs):
     for r in rows:
         assert r["n_bytes"] > 0 and r["format"] in ("png", "jpeg", "webp")
         assert 16 <= r["width"] <= 4096 and 16 <= r["height"] <= 4096
-        assert len(r["sha1"]) == 40
+        assert len(r["content_md5"]) == 32
     # determinism: identical payloads -> identical meta
-    by_id = {r["media_id"]: (r["format"], r["width"], r["height"], r["sha1"]) for r in rows}
+    by_id = {r["media_id"]: (r["format"], r["width"], r["height"], r["content_md5"]) for r in rows}
     assert by_id[0] == by_id[1]
+
+
+def test_multimodal_golden_bytes_seam(spark):
+    """Golden-bytes fixture freezing the stub/real decode seam: swapping in
+    a real decoder replaces ONE symbol (_fake_decode_image) and exactly
+    these value assertions; all Spark-side plumbing (schema, Arrow batches,
+    fan-out) stays. Values derive from md5(payload) — recomputed here
+    independently of the module under test."""
+    import hashlib
+
+    payload = b"golden fixture payload: 48 bytes of known text!!"
+    h = hashlib.md5(payload).hexdigest()
+    media = spark.createDataFrame(
+        [(7, "image", bytearray(payload), "golden")],
+        "media_id long, kind string, payload binary, meta_format string",
+    )
+    (r,) = image_meta(media).collect()
+    assert r["format"] == ["png", "jpeg", "webp"][int(h[0], 16) % 3]
+    assert r["width"] == 16 + int(h[1:5], 16) % 4080
+    assert r["height"] == 16 + int(h[5:9], 16) % 4080
+    assert r["content_md5"] == h and r["n_bytes"] == len(payload)
+    frames = frame_sample(media, every_n=1, max_frames=4).collect()
+    assert [f["frame_idx"] for f in frames] == [0, 1, 2]  # 48 // 16 = 3
+    for f in frames:
+        lo = f["frame_idx"] * 16
+        assert f["frame_md5"] == hashlib.md5(payload[lo : lo + 64]).hexdigest()
 
 
 def test_multimodal_pil_backend_stubbed(docs):

@@ -91,6 +91,16 @@ def child(cores: int, corpus_dir: str) -> None:
             vectorized_topk(lists, K)
             lat.append((time.perf_counter() - tq) * 1000)
         lat.sort()
+
+        # distributed batch path: same queries as ONE Spark job (the bulk
+        # throughput path whose scaling the north_rule also cares about)
+        from olaf_spark.batch import batch_query_index
+
+        tb = time.perf_counter()
+        batch_query_index(spark, index, list(enumerate(queries)), k=K).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        batch_s = time.perf_counter() - tb
         out = {
             "cores": cores,
             "n_docs": n_docs,
@@ -105,6 +115,8 @@ def child(cores: int, corpus_dir: str) -> None:
             "packed_mb": round(index.stats["packed_bytes"] / 1e6, 2),
             "query_p50_ms": round(lat[len(lat) // 2], 1),
             "query_p95_ms": round(lat[int(len(lat) * 0.95)], 1),
+            "batch_s": round(batch_s, 2),
+            "batch_over_ref": round(batch_s / cpu_ref_s, 3),
         }
     spark.stop()
     print("CHILD_RESULT " + json.dumps(out))
@@ -161,6 +173,10 @@ def main() -> None:
     # contention-corrected: if the engine scaled exactly as well as the
     # reference job, build_over_ref would be EQUAL at both levels
     corrected = median(ratios[lo_c]) / median(ratios[hi_c])
+    batch_eff = (N_QUERIES / best[hi_c]["batch_s"]) / (
+        factor * (N_QUERIES / best[lo_c]["batch_s"])
+    )
+    batch_corrected = best[lo_c]["batch_over_ref"] / best[hi_c]["batch_over_ref"]
     out = {
         "metric": f"index-build scaling efficiency local[{lo_c}] -> local[{hi_c}]",
         "n_docs": N_DOCS,
@@ -170,6 +186,8 @@ def main() -> None:
         "efficiency_raw_best": round(eff, 3),
         "machine_ceiling_efficiency": round(ceiling, 3),
         "efficiency_vs_machine": round(min(corrected, 1.0), 3),
+        "batch_query_efficiency_raw": round(batch_eff, 3),
+        "batch_query_efficiency_vs_machine": round(min(batch_corrected, 1.0), 3),
     }
     print(json.dumps(out, indent=1))
 
