@@ -33,7 +33,7 @@ def main() -> None:
     ap.add_argument(
         "--method",
         default="vectorized",
-        choices=["vectorized", "wand", "exhaustive", "distributed"],
+        choices=["vectorized", "blockmax", "wand", "exhaustive", "distributed"],
     )
     ap.add_argument("--out", default=None, help="parquet output path (default: stdout JSON)")
     args = ap.parse_args()

@@ -39,7 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from olaf_spark.codec import unpack_postings, varbyte_decode
+from olaf_spark.codec import decode_ids_blocked, varbyte_decode
 from olaf_spark.indexer import Index, term_id_py
 from olaf_spark.scorer import idf as idf_fn
 from olaf_spark.tokenize import tokenize_py
@@ -53,6 +53,7 @@ def _make_score_partials(
     avgdl: float,
     k1: float,
     b: float,
+    block_size: int,
     tombstones: frozenset[int],
 ):
     """mapInPandas fn: posting rows -> (query_id, doc_id, term, contrib).
@@ -77,9 +78,9 @@ def _make_score_partials(
                 subscribers = subs.get(int(terms_np[i]))
                 if not subscribers:
                     continue  # row-group stats pruning is approximate
-                ids, tfs = unpack_postings(bytes(id_bufs[i]), bytes(tf_bufs[i]))
+                ids = decode_ids_blocked(bytes(id_bufs[i]), block_size).astype(np.int64)
+                tfs = varbyte_decode(bytes(tf_bufs[i]))
                 dls = varbyte_decode(bytes(dl_bufs[i]))
-                ids = ids.astype(np.int64)
                 if ts_arr is not None:
                     keep = ~np.isin(ids, ts_arr)
                     ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
@@ -148,7 +149,7 @@ def batch_query_index(
     )
     partials = postings.mapInPandas(
         _make_score_partials(
-            subs, index.n_docs, index.avgdl, cfg.k1, cfg.b,
+            subs, index.n_docs, index.avgdl, cfg.k1, cfg.b, cfg.block_size,
             frozenset(index.tombstones()),
         ),
         PARTIAL_SCHEMA,

@@ -139,26 +139,107 @@ def delta_encode_grouped(values: np.ndarray, group_starts: np.ndarray) -> np.nda
 
 
 def encode_grouped(
-    values: np.ndarray, group_starts: np.ndarray, delta: bool
+    values: np.ndarray,
+    group_starts: np.ndarray,
+    delta: bool,
+    delta_starts: np.ndarray | None = None,
 ) -> list[bytes]:
     """Varbyte-encode MANY posting lists in ONE vectorized pass.
 
     values: concatenated per-group arrays; group_starts: start index of each
     group. Returns one bytes object per group. This is the executor hot path
     of the index build — per-group Python work is a single bytes() slice.
+
+    delta_starts (optional, superset of group_starts): positions whose value
+    stays ABSOLUTE instead of gap-encoded — block-restart points that make
+    each block independently decodable (lazy block decode).
     """
     v = np.asarray(values, dtype=np.uint64)
     n_groups = len(group_starts)
     if v.size == 0:
         return [b""] * n_groups
     if delta:
-        v = delta_encode_grouped(v, group_starts)
+        v = delta_encode_grouped(v, delta_starts if delta_starts is not None else group_starts)
     buf, nbytes = _varbyte_encode_arr(v)
     value_byte_starts = np.concatenate([[0], np.cumsum(nbytes)])
     gb = value_byte_starts[group_starts]
     ge = np.concatenate([gb[1:], [value_byte_starts[-1]]])
     raw = buf.tobytes()
     return [raw[int(s):int(e)] for s, e in zip(gb, ge)]
+
+
+def block_starts_for_groups(
+    group_starts: np.ndarray, total: int, block_size: int
+) -> np.ndarray:
+    """Concatenated per-group block-start indices (each group's blocks start
+    at its own offset 0, block_size, 2*block_size, ...) — the delta-restart
+    points for independently decodable blocks."""
+    gs = np.asarray(group_starts, dtype=np.int64)
+    ge = np.append(gs[1:], total)
+    out = [np.arange(s, e, block_size, dtype=np.int64) for s, e in zip(gs, ge)]
+    return np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+
+
+def encode_grouped_blocked(
+    values: np.ndarray,
+    group_starts: np.ndarray,
+    block_size: int,
+    delta: bool,
+) -> tuple[list[bytes], list[list[int]]]:
+    """encode_grouped with per-block delta restarts AND per-group byte
+    offsets of each block start (relative to the group's buffer).
+
+    Returns (bufs, offs): offs[g][b] is the byte offset of block b inside
+    bufs[g] — the lazy-decode seek table. The serving path slices
+    bufs[g][offs[b]:offs[b+1]] and decodes ONE block without touching the
+    rest (block-max WAND skips whole blocks without decoding them).
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    n_groups = len(group_starts)
+    if v.size == 0:
+        return [b""] * n_groups, [[] for _ in range(n_groups)]
+    gs = np.asarray(group_starts, dtype=np.int64)
+    bstarts = block_starts_for_groups(gs, v.size, block_size)
+    if delta:
+        v = delta_encode_grouped(v, bstarts)
+    buf, nbytes = _varbyte_encode_arr(v)
+    value_byte_starts = np.concatenate([[0], np.cumsum(nbytes)])
+    gb = value_byte_starts[gs]
+    ge = np.concatenate([gb[1:], [value_byte_starts[-1]]])
+    raw = buf.tobytes()
+    bufs = [raw[int(s):int(e)] for s, e in zip(gb, ge)]
+    # block byte offsets, group-relative
+    block_abs = value_byte_starts[bstarts]
+    group_of_block = np.searchsorted(gs, bstarts, side="right") - 1
+    rel = block_abs - gb[group_of_block]
+    offs: list[list[int]] = [[] for _ in range(n_groups)]
+    for g, o in zip(group_of_block.tolist(), rel.tolist()):
+        offs[g].append(int(o))
+    return bufs, offs
+
+
+def decode_ids_blocked(buf: bytes, block_size: int) -> np.ndarray:
+    """Full decode of a block-restart delta buffer: varbyte -> segmented
+    cumsum (each block's first value is absolute). Vectorized: global
+    cumsum minus the running total at each block start."""
+    v = varbyte_decode(buf)
+    n = v.size
+    if n == 0:
+        return v
+    c = np.cumsum(v, dtype=np.uint64)
+    starts = np.arange(0, n, block_size, dtype=np.int64)
+    cpad = np.concatenate([np.zeros(1, dtype=np.uint64), c])
+    base = cpad[starts]  # sum of gaps before each block
+    reps = np.minimum(starts + block_size, n) - starts
+    return c - np.repeat(base, reps)
+
+
+def decode_block(buf: bytes, offs: np.ndarray, b: int, delta: bool) -> np.ndarray:
+    """Decode ONE block from its byte-offset table (lazy path)."""
+    lo = int(offs[b])
+    hi = int(offs[b + 1]) if b + 1 < len(offs) else len(buf)
+    v = varbyte_decode(buf[lo:hi])
+    return np.cumsum(v, dtype=np.uint64) if delta else v
 
 
 def block_maxes(

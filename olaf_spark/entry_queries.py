@@ -569,6 +569,91 @@ def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# fuzzy term lookup (olaf_spark/fuzzy.py): Olaf's ±searchRange B+tree probe
+# (olaf_db.c:337-398) — the query term widens to its edit-distance-1
+# neighborhood, probed as one pushdown isin; the oracle states the same set
+# declaratively via levenshtein().
+# --------------------------------------------------------------------------
+
+FUZZY_PROBE = "sow"  # ED-1 neighbors in the corpus vocabulary: row, slow
+
+
+def _term_stats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = term_freqs_df(_docs(spark, sf_dir))
+    return tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+
+
+def q_fuzzy_term_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olaf_spark.fuzzy import fuzzy_term_stats
+
+    return fuzzy_term_stats(_term_stats_df(spark, sf_dir), FUZZY_PROBE)
+
+
+SQL_FUZZY_TERM_LOOKUP = (
+    "WITH " + SQL_TF
+    + f"""
+, dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+SELECT term, df FROM dft WHERE levenshtein(term, '{FUZZY_PROBE}') <= 1
+"""
+)
+
+
+def q_bm25_topk_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy BM25: every indexed ED-1 neighbor of the probe scores as a
+    query term with its own idf (OR semantics — Olaf tallies every hash in
+    the widened range, olaf_fp_matcher.c:148-186)."""
+    from olaf_spark.fuzzy import fuzzy_query_terms
+    from olaf_spark.scorer import bm25_scores, postings_flat_df, topk
+
+    docs = _docs(spark, sf_dir)
+    pf = postings_flat_df(docs).cache()
+    n_docs = docs.count()
+    total = pf.agg(F.sum("tf")).collect()[0][0] or 0
+    avgdl = total / n_docs if n_docs else 0.0
+    term_stats = pf.groupBy("term").agg(F.count("*").alias("df"))
+    qidf = fuzzy_query_terms(term_stats, n_docs, FUZZY_PROBE)
+    out = topk(bm25_scores(pf, qidf, avgdl, CFG), K)
+    return out.select(
+        "doc_id",
+        F.round("score", 4).cast("double").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_BM25_TOPK_FUZZY = f"""
+WITH {SQL_TF}
+, dl AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                         t -> t <> ''))::BIGINT AS doc_len
+  FROM documents
+)
+, stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(doc_len)::DOUBLE AS avgdl FROM dl)
+, dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+, q AS (SELECT term FROM dft WHERE levenshtein(term, '{FUZZY_PROBE}') <= 1)
+, scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf * ({CFG.k1} + 1.0)
+              / (tf.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * dl.doc_len / stats.avgdl))
+         ) AS raw_score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dft USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       round(raw_score, 4)::DOUBLE AS score,
+       row_number() OVER (ORDER BY raw_score DESC, doc_id ASC)::BIGINT AS rank
+FROM scored
+ORDER BY raw_score DESC, doc_id ASC
+LIMIT {K}
+"""
+
+
+# --------------------------------------------------------------------------
 # distributed batch BM25 (olaf_spark/batch.py): the whole query batch scored
 # as ONE Spark job over the materialized index — Olaf's bulk-query protocol
 # (eval/olaf_benchmark/olaf_benchmark.rb:76-81). Oracle: per-query BM25 SQL
@@ -1003,6 +1088,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats": q_corpus_stats,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_thresholded": q_bm25_topk_thresholded,
+    "fuzzy_term_lookup": q_fuzzy_term_lookup,
+    "bm25_topk_fuzzy": q_bm25_topk_fuzzy,
     "top_terms_per_lang": q_top_terms_per_lang,
     "match_tally": q_match_tally,
     "dedup_exact": q_dedup_exact,
@@ -1042,6 +1129,8 @@ ORACLE_SQL: dict[str, str] = {
     "corpus_stats": SQL_CORPUS_STATS,
     "bm25_topk": SQL_BM25_TOPK,
     "bm25_topk_thresholded": SQL_BM25_TOPK_THRESHOLDED,
+    "fuzzy_term_lookup": SQL_FUZZY_TERM_LOOKUP,
+    "bm25_topk_fuzzy": SQL_BM25_TOPK_FUZZY,
     "top_terms_per_lang": SQL_TOP_TERMS_PER_LANG,
     "match_tally": SQL_MATCH_TALLY,
     "dedup_exact": SQL_DEDUP_EXACT,

@@ -44,7 +44,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from olaf_spark.codec import block_maxes, varbyte_decode, unpack_postings
+from olaf_spark.codec import (
+    block_maxes,
+    decode_ids_blocked,
+    encode_grouped_blocked,
+    varbyte_decode,
+)
 from olaf_spark.config import EngineConfig
 from olaf_spark.indexer import (
     POSTINGS_SCHEMA,
@@ -194,11 +199,10 @@ class IndexGroup:
             w = idf_fn(self.n_docs, df_total)
             ids_l, tfs_l, dls_l = [], [], []
             for r in rows:
-                ids, tfs = unpack_postings(bytes(r["doc_ids_bin"]), bytes(r["tfs_bin"]))
-                dls = varbyte_decode(bytes(r["doc_lens_bin"]))
+                ids = decode_ids_blocked(bytes(r["doc_ids_bin"]), cfg.block_size)
                 ids_l.append(ids.astype(np.int64))
-                tfs_l.append(tfs)
-                dls_l.append(dls)
+                tfs_l.append(varbyte_decode(bytes(r["tfs_bin"])))
+                dls_l.append(varbyte_decode(bytes(r["doc_lens_bin"])))
             ids = np.concatenate(ids_l)
             tfs_f = np.concatenate(tfs_l).astype(np.float64)
             dls_f = np.concatenate(dls_l).astype(np.float64)
@@ -243,10 +247,6 @@ def _make_compact_fn(n_docs: int, avgdl: float, cfg: EngineConfig, tombstones: s
         every row (df_full, the per-part-df pre-agg sum), so idf and block
         maxes are exact regardless of task boundaries.
         """
-        import pandas as pd
-
-        from olaf_spark.codec import encode_grouped
-
         batches = [p for p in pdf_iter if len(p)]
         if not batches:
             return
@@ -270,9 +270,8 @@ def _make_compact_fn(n_docs: int, avgdl: float, cfg: EngineConfig, tombstones: s
         for s, e in zip(row_starts, row_ends):
             ids_p, tfs_p, dls_p = [], [], []
             for i in range(s, e):
-                ids_i, tfs_i = unpack_postings(bytes(id_bufs[i]), bytes(tf_bufs[i]))
-                ids_p.append(ids_i.astype(np.int64))
-                tfs_p.append(tfs_i)
+                ids_p.append(decode_ids_blocked(bytes(id_bufs[i]), block_size).astype(np.int64))
+                tfs_p.append(varbyte_decode(bytes(tf_bufs[i])))
                 dls_p.append(varbyte_decode(bytes(dl_bufs[i])))
             ids = np.concatenate(ids_p)
             tfs = np.concatenate(tfs_p)
@@ -309,16 +308,28 @@ def _make_compact_fn(n_docs: int, avgdl: float, cfg: EngineConfig, tombstones: s
         if not out_terms:
             return
         gs = np.asarray(group_starts, dtype=np.int64)
+        id_bin, id_offs = encode_grouped_blocked(
+            np.concatenate(all_ids), gs, block_size, delta=True
+        )
+        tf_bin, tf_offs = encode_grouped_blocked(
+            np.concatenate(all_tfs), gs, block_size, delta=False
+        )
+        dl_bin, dl_offs = encode_grouped_blocked(
+            np.concatenate(all_dls), gs, block_size, delta=False
+        )
         yield pd.DataFrame(
             {
                 "term_id": np.asarray(out_terms, dtype=np.int64),
                 "df": np.asarray(dfs, dtype=np.int64),
                 "chunk": np.asarray(chunks, dtype=np.int32),
-                "doc_ids_bin": encode_grouped(np.concatenate(all_ids), gs, delta=True),
-                "tfs_bin": encode_grouped(np.concatenate(all_tfs), gs, delta=False),
-                "doc_lens_bin": encode_grouped(np.concatenate(all_dls), gs, delta=False),
+                "doc_ids_bin": id_bin,
+                "tfs_bin": tf_bin,
+                "doc_lens_bin": dl_bin,
                 "block_lasts": blk_lasts,
                 "block_maxes": blk_maxes,
+                "id_offs": id_offs,
+                "tf_offs": tf_offs,
+                "dl_offs": dl_offs,
             }
         )
 

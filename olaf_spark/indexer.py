@@ -54,6 +54,7 @@ from olaf_spark.codec import (
     block_maxes,
     delta_decode,
     encode_grouped,
+    encode_grouped_blocked,
     varbyte_decode,
 )
 from olaf_spark.config import EngineConfig
@@ -64,10 +65,15 @@ SEGMENT_SCHEMA = (
     "doc_ids_bin binary, tfs_bin binary, doc_lens_bin binary"
 )
 
+# Posting rows are chunk-aligned to block_size: doc_ids_bin gap-encodes with
+# a RESTART (absolute value) at every block boundary, and *_offs hold each
+# block's byte offset inside its buffer — so the serving path can decode ONE
+# block without touching the rest (lazy block decode for block-max pruning).
 POSTINGS_SCHEMA = (
     "term_id long, df long, chunk int, "
     "doc_ids_bin binary, tfs_bin binary, doc_lens_bin binary, "
-    "block_lasts array<long>, block_maxes array<double>"
+    "block_lasts array<long>, block_maxes array<double>, "
+    "id_offs array<long>, tf_offs array<long>, dl_offs array<long>"
 )
 
 
@@ -292,16 +298,22 @@ def _make_merge_fn(n_docs: int, avgdl: float, cfg: EngineConfig):
 
         cat = np.concatenate
         gs = np.asarray(group_starts, dtype=np.int64)
+        id_bin, id_offs = encode_grouped_blocked(cat(all_ids), gs, block_size, delta=True)
+        tf_bin, tf_offs = encode_grouped_blocked(cat(all_tfs), gs, block_size, delta=False)
+        dl_bin, dl_offs = encode_grouped_blocked(cat(all_dls), gs, block_size, delta=False)
         yield pd.DataFrame(
             {
                 "term_id": np.asarray(out_terms, dtype=np.int64),
                 "df": np.asarray(dfs, dtype=np.int64),
                 "chunk": np.asarray(chunks, dtype=np.int32),
-                "doc_ids_bin": encode_grouped(cat(all_ids), gs, delta=True),
-                "tfs_bin": encode_grouped(cat(all_tfs), gs, delta=False),
-                "doc_lens_bin": encode_grouped(cat(all_dls), gs, delta=False),
+                "doc_ids_bin": id_bin,
+                "tfs_bin": tf_bin,
+                "doc_lens_bin": dl_bin,
                 "block_lasts": blk_lasts,
                 "block_maxes": blk_maxes,
+                "id_offs": id_offs,
+                "tf_offs": tf_offs,
+                "dl_offs": dl_offs,
             }
         )
 

@@ -103,7 +103,7 @@ def test_compact_splits_head_terms_doc_range_parallel(spark, halves, tmp_path):
     and the (recomputed-block-max) WAND scorers."""
     import numpy as np
 
-    from olaf_spark.codec import unpack_postings
+    from olaf_spark.codec import decode_ids_blocked
     from olaf_spark.indexer import term_id_py
 
     pages, a, b = halves
@@ -124,8 +124,7 @@ def test_compact_splits_head_terms_doc_range_parallel(spark, halves, tmp_path):
     assert len(rows) > 4, len(rows)  # head term split into many chunk rows
     all_ids: list[int] = []
     for r in rows:
-        ids, _ = unpack_postings(bytes(r["doc_ids_bin"]), bytes(r["tfs_bin"]))
-        ids = ids.astype(np.int64)
+        ids = decode_ids_blocked(bytes(r["doc_ids_bin"]), cfg.block_size).astype(np.int64)
         assert np.all(np.diff(ids) > 0)  # each chunk internally sorted
         assert len(r["block_lasts"]) == -(-ids.size // cfg.block_size)
         all_ids.extend(ids.tolist())

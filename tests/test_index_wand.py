@@ -18,8 +18,10 @@ from olaf_spark.indexer import Index, build_index, completed_buckets
 from olaf_spark.oracle import OracleIndex
 from olaf_spark.synth import gen_pages, gen_queries
 from olaf_spark.wand import (
+    blockmax_topk,
     exhaustive_topk,
     load_term_postings,
+    load_term_postings_raw,
     query_index,
     vectorized_topk,
     wand_topk,
@@ -65,9 +67,12 @@ def test_wand_rank_identical_to_oracle(spark, built):
         got_ex = exhaustive_topk(lists, K)
         got_wand = wand_topk(lists, K)
         got_vec = vectorized_topk(lists, K)
+        raw = load_term_postings_raw(spark, index, q)
+        got_bm = blockmax_topk(raw, K, index.cfg, index.avgdl)
         assert_identical(got_ex, want)
         assert_identical(got_wand, want)
         assert_identical(got_vec, want)
+        assert_identical(got_bm, want)
 
 
 def test_wand_equals_exhaustive_small_k(spark, built):
@@ -75,9 +80,13 @@ def test_wand_equals_exhaustive_small_k(spark, built):
     pages, oracle, index = built
     for q in ["w2 w3 w5 w10", "w1 w100 w1000", "needle97 w2"]:
         lists = load_term_postings(spark, index, q)
+        raw = load_term_postings_raw(spark, index, q)
         for k in (1, 2, 3, 25):
             assert_identical(wand_topk(lists, k), exhaustive_topk(lists, k))
             assert_identical(vectorized_topk(lists, k), exhaustive_topk(lists, k))
+            assert_identical(
+                blockmax_topk(raw, k, index.cfg, index.avgdl), exhaustive_topk(lists, k)
+            )
 
 
 def test_full_range_int64_doc_ids(spark, tmp_path):
@@ -99,6 +108,10 @@ def test_full_range_int64_doc_ids(spark, tmp_path):
         want = oracle.topk(q, K)
         assert_identical(vectorized_topk(lists, K), want)
         assert_identical(wand_topk(lists, K), want)
+        assert_identical(
+            blockmax_topk(load_term_postings_raw(spark, index, q), K, index.cfg, index.avgdl),
+            want,
+        )
 
 
 def test_head_term_row_chunking(spark, tmp_path):
@@ -140,6 +153,10 @@ def test_head_term_row_chunking(spark, tmp_path):
         want = oracle.topk(q, K)
         assert_identical(vectorized_topk(lists, K), want)
         assert_identical(wand_topk(lists, K), want)
+        assert_identical(
+            blockmax_topk(load_term_postings_raw(spark, index, q), K, index.cfg, index.avgdl),
+            want,
+        )
 
 
 def test_merge_split_across_tasks(spark, tmp_path):
@@ -165,6 +182,10 @@ def test_merge_split_across_tasks(spark, tmp_path):
         want = oracle.topk(q, K)
         assert_identical(vectorized_topk(lists, K), want)
         assert_identical(wand_topk(lists, K), want)
+        assert_identical(
+            blockmax_topk(load_term_postings_raw(spark, index, q), K, index.cfg, index.avgdl),
+            want,
+        )
 
 
 def test_universal_head_term_no_truncation(spark, tmp_path):
@@ -188,6 +209,10 @@ def test_universal_head_term_no_truncation(spark, tmp_path):
         want = oracle.topk(q, K)
         assert_identical(vectorized_topk(lists, K), want)
         assert_identical(wand_topk(lists, K), want)
+        assert_identical(
+            blockmax_topk(load_term_postings_raw(spark, index, q), K, index.cfg, index.avgdl),
+            want,
+        )
 
 
 def test_query_index_end_to_end(spark, built):
@@ -267,3 +292,28 @@ def test_resume_skips_done_buckets_and_matches_clean(spark, built, tmp_path):
         assert_identical(
             query_index(spark, resumed, q, K), query_index(spark, index, q, K)
         )
+
+
+def test_blockmax_tombstones_and_knobs(spark, built, tmp_path):
+    """The lazy block-max path under deletion: tombstoned docs vanish,
+    survivors score exactly as the eager path scores them (stored block
+    maxes stay upper bounds when docs are deleted), and min_score/k=None
+    behave identically to the vectorized path."""
+    pages, oracle, index = built
+    import shutil
+
+    d = str(tmp_path / "bm_ix")
+    shutil.copytree(index.index_dir, d)
+    ix = Index.load(d)
+    q = "w2 w17 w300"
+    before = query_index(spark, ix, q, k=20, method="blockmax")
+    assert_identical(before, query_index(spark, ix, q, k=20, method="vectorized"))
+    victim = before[0][0]
+    ix.delete_docs([victim])
+    got = query_index(spark, ix, q, k=20, method="blockmax")
+    assert all(dd != victim for dd, _ in got)
+    assert_identical(got, query_index(spark, ix, q, k=20, method="vectorized"))
+    ix.undelete_docs([victim])
+    theta = before[4][1]
+    cut = query_index(spark, ix, q, k=20, method="blockmax", min_score=theta)
+    assert cut == before[:5]
