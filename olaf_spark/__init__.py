@@ -15,7 +15,13 @@ Layout:
   tokenize   — tokenizer: pure-DataFrame and pandas-UDF variants
   codec      — delta + varbyte posting-list compression (numpy, vectorized)
   indexer    — distributed index build: postings segments, merge, lineage, resume
-  scorer     — BM25 top-k: DataFrame path + driver-side block-max WAND
+  scorer     — BM25 top-k: ad-hoc DataFrame path
+  wand       — serving scorers over packed postings: vectorized exact,
+               vectorized block-max pruning with lazy block decode, DAAT WAND
+  batch      — distributed batch BM25: a whole query batch as ONE Spark job
+  fuzzy      — edit-distance-1 term lookup (Olaf ±searchRange analogue)
+  incremental— delta appends, merged-on-read groups, doc-range-parallel compaction
+  streaming  — Structured Streaming operators (windows, TTL state, index appends)
   oracle     — pure-Python single-node reference engine (rank-identity target)
   ops        — training-data pipeline operators (dedup, similarity, text, multimodal)
 """

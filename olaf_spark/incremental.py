@@ -438,6 +438,22 @@ def compact_index(
         "n_postings": trow["n_postings"],
         "bytes": brow["bytes"],
     }
+    wall = time.time() - t0
+    from olaf_spark.indexer import _write_lineage
+
+    _write_lineage(
+        [
+            dict(
+                stage="compact", partition_id=-1,
+                input_rows=sum(p.stats["n_postings"] for p in group.parts),
+                output_rows=int(post_stats["n_terms"]),
+                wall_s=wall,
+                rows_per_s=(int(post_stats["n_postings"] or 0) / wall if wall > 0 else 0.0),
+                bytes_out=int(post_stats["bytes"] or 0), status="done", ts=time.time(),
+            )
+        ],
+        os.path.join(out_dir, "lineage"),
+    )
     stats = dict(
         n_docs=group.n_docs,
         avgdl=group.avgdl,

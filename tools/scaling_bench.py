@@ -93,9 +93,15 @@ def child(cores: int, corpus_dir: str) -> None:
         lat.sort()
 
         # distributed batch path: same queries as ONE Spark job (the bulk
-        # throughput path whose scaling the north_rule also cares about)
+        # throughput path whose scaling the north_rule also cares about).
+        # One warmup run first: the first execution of this plan shape pays
+        # one-time whole-stage-codegen + Python-worker spin-up that a
+        # steady-state cluster amortizes across batches.
         from olaf_spark.batch import batch_query_index
 
+        batch_query_index(spark, index, list(enumerate(queries[:4])), k=K).write.format(
+            "noop"
+        ).mode("overwrite").save()
         tb = time.perf_counter()
         batch_query_index(spark, index, list(enumerate(queries)), k=K).write.format(
             "noop"
