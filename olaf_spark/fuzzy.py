@@ -54,6 +54,23 @@ def fuzzy_term_stats(term_stats: DataFrame, probe: str) -> DataFrame:
     return term_stats.where(F.col("term").isin(variants)).select("term", "df")
 
 
+def fuzzy_query_index(spark, index, probe: str, k: int = 10) -> list[tuple[int, float]]:
+    """Fuzzy BM25 top-k against a MATERIALIZED index: the edit-distance-1
+    neighborhood probes the posting store as one variant-id isin (hive
+    shard pruning + row-group stats — the ±range scan's access pattern);
+    variants present in the index score as ordinary query terms.
+
+    Implementation: the variant set IS a query string — the serving loader
+    tokenizes it back into the variants, hashes each, and probes; absent
+    variants simply match no posting rows.
+    """
+    from olaf_spark.wand import load_term_postings, vectorized_topk
+
+    variants = sorted(edit1_variants(probe))
+    lists = load_term_postings(spark, index, " ".join(variants))
+    return vectorized_topk(lists, k)
+
+
 def fuzzy_query_terms(
     term_stats: DataFrame, n_docs: int, probe: str
 ) -> list[tuple[str, float]]:

@@ -59,3 +59,33 @@ def test_fuzzy_matches_vocabulary(spark):
     hits = topk(bm25_scores(pf, qidf, 3.0, EngineConfig()), 4).collect()
     got = {r["doc_id"] for r in hits}
     assert got == {0, 1, 2}
+
+
+def test_fuzzy_query_index_matches_adhoc(spark, tmp_path):
+    """Fuzzy probe against the materialized index == the ad-hoc DataFrame
+    fuzzy scorer (same variants, same idf per matched term)."""
+    import math
+
+    from olaf_spark.fuzzy import fuzzy_query_index
+    from olaf_spark.indexer import build_index
+    from olaf_spark.scorer import bm25_scores, postings_flat_df, topk
+    from olaf_spark.synth import gen_pages
+
+    docs = gen_pages(spark, 150, seed=11).select("doc_id", "text")
+    cfg = EngineConfig(block_size=8)
+    ix = build_index(spark, docs, str(tmp_path / "ix"), cfg, n_buckets=4)
+    probe = "w2x"  # ED-1 ball covers w2, w20..w29, ...
+    got = fuzzy_query_index(spark, ix, probe, k=10)
+    assert got, "probe should match vocabulary terms"
+
+    pf = postings_flat_df(docs, cfg=cfg).cache()
+    stats = pf.groupBy("term").count().withColumnRenamed("count", "df")
+    qidf = fuzzy_query_terms(stats, ix.n_docs, probe)
+    assert len(qidf) > 1
+    want = [
+        (r["doc_id"], r["score"])
+        for r in topk(bm25_scores(pf, qidf, ix.avgdl, cfg), 10).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-12, abs_tol=1e-15)

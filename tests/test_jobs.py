@@ -53,3 +53,21 @@ def test_build_and_query_jobs_end_to_end(spark, tmp_path):
     lib = query_index(spark, ix, "needle97", k=5)
     job = [(r["doc_id"], r["score"]) for r in rows if r["query_id"] == 1]
     assert [d for d, _ in lib] == [d for d, _ in job]
+
+    # distributed batch path: one Spark job for the whole query file,
+    # rank-identical to the driver-side scorer's output
+    r3 = subprocess.run(
+        [sys.executable, f"{REPO}/jobs/query_job.py",
+         "--index", ix_dir, "--queries", str(qfile), "--k", "5",
+         "--method", "distributed"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    drows = [json.loads(l) for l in r3.stdout.splitlines() if l.startswith("{")]
+    dist = {}
+    for r in sorted(drows, key=lambda r: (r["query_id"], r["rank"])):
+        dist.setdefault(r["query_id"], []).append(r["doc_id"])
+    serial = {}
+    for r in rows:
+        serial.setdefault(r["query_id"], []).append(r["doc_id"])
+    assert dist == serial
