@@ -686,6 +686,27 @@ SQL_BM25_BATCH = "\nUNION ALL\n".join(
 )
 
 
+def q_bm25_topk_blockmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-index path through the lazy-decode block-max scorer
+    (wand.blockmax_topk): vectorized block-max pruning, only surviving
+    block runs ever decoded. Same oracle as bm25_topk — the pruned path
+    must be rank- AND score-identical to exhaustive scoring."""
+    import pandas as pd
+
+    from olaf_spark.wand import query_index
+
+    index = _get_index(spark, sf_dir)
+    hits = query_index(spark, index, FLAGSHIP_QUERY, k=K, method="blockmax")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in hits],
+            "score": [round(s, 4) for _, s in hits],
+            "rank": list(range(1, len(hits) + 1)),
+        }
+    )
+    return spark.createDataFrame(pdf, "doc_id long, score double, rank long")
+
+
 def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
@@ -1098,6 +1119,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_by_nation": q_orders_by_nation,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "bm25_topk_wand": q_bm25_topk_wand,
+    "bm25_topk_blockmax": q_bm25_topk_blockmax,
     "bm25_batch_distributed": q_bm25_batch_distributed,
     "bm25_incremental": q_bm25_incremental,
     "fragment_windows": q_fragment_windows,
@@ -1139,6 +1161,7 @@ ORACLE_SQL: dict[str, str] = {
     "orders_by_nation": SQL_ORDERS_BY_NATION,
     "embedding_cosine_topk": SQL_EMBEDDING_COSINE_TOPK,
     "bm25_topk_wand": SQL_BM25_TOPK,
+    "bm25_topk_blockmax": SQL_BM25_TOPK,
     "bm25_batch_distributed": SQL_BM25_BATCH,
     "bm25_incremental": SQL_BM25_TOPK,
     "fragment_windows": SQL_FRAGMENT_WINDOWS,
