@@ -455,6 +455,7 @@ def compact_index(
         os.path.join(out_dir, "lineage"),
     )
     stats = dict(
+        format_version=Index.FORMAT_VERSION,
         n_docs=group.n_docs,
         avgdl=group.avgdl,
         total_tokens=sum(p.stats["total_tokens"] for p in group.parts),

@@ -356,6 +356,11 @@ class Index:
     def avgdl(self) -> float:
         return self.stats["avgdl"]
 
+    #: on-disk postings layout version. 2 = blocked codec (gap restarts per
+    #: block + id/tf/dl_offs seek tables). Bump on any layout change so a
+    #: stale index fails loudly here instead of deep in a decode.
+    FORMAT_VERSION = 2
+
     @classmethod
     def load(cls, index_dir: str, query_cfg: EngineConfig | None = None) -> "Index":
         cfg = EngineConfig.load(index_dir)
@@ -363,6 +368,13 @@ class Index:
             cfg.check_compatible(query_cfg)  # olaf_config.h:46-50 invariant
         with open(os.path.join(index_dir, "stats.json")) as f:
             stats = json.load(f)
+        found = stats.get("format_version", 1)
+        if found != cls.FORMAT_VERSION:
+            raise ValueError(
+                f"index at {index_dir} has postings format v{found}; this "
+                f"engine reads v{cls.FORMAT_VERSION} — rebuild the index "
+                "(the config-freeze invariant extends to the storage layout)"
+            )
         return cls(index_dir, cfg, stats)
 
     def postings(self, spark: SparkSession) -> DataFrame:
@@ -620,6 +632,7 @@ def build_index(
     )
 
     stats = dict(
+        format_version=Index.FORMAT_VERSION,
         n_docs=n_docs,
         avgdl=avgdl,
         total_tokens=total_tf,

@@ -317,3 +317,19 @@ def test_blockmax_tombstones_and_knobs(spark, built, tmp_path):
     theta = before[4][1]
     cut = query_index(spark, ix, q, k=20, method="blockmax", min_score=theta)
     assert cut == before[:5]
+
+
+def test_stale_format_version_refused(spark, built, tmp_path):
+    import json
+    import shutil
+
+    _, _, index = built
+    d = str(tmp_path / "stale_ix")
+    shutil.copytree(index.index_dir, d)
+    with open(f"{d}/stats.json") as f:
+        stats = json.load(f)
+    stats["format_version"] = 1
+    with open(f"{d}/stats.json", "w") as f:
+        json.dump(stats, f)
+    with pytest.raises(ValueError, match="format"):
+        Index.load(d)
