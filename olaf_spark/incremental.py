@@ -54,13 +54,14 @@ from olaf_spark.config import EngineConfig
 from olaf_spark.indexer import (
     POSTINGS_SCHEMA,
     Index,
+    _iter_term_chunks,
     build_index,
     shard_from_id_col,
     term_id_py,
 )
 from olaf_spark.scorer import idf as idf_fn
 from olaf_spark.tokenize import tokenize_py
-from olaf_spark.wand import TermPostings, vectorized_topk
+from olaf_spark.wand import RawTermPostings, TermPostings, blockmax_topk, vectorized_topk
 
 _DELTAS = "deltas"
 
@@ -99,16 +100,24 @@ def append_index(
     delta_name pins the directory name — a Structured Streaming foreachBatch
     sink passes delta_epoch_{epoch_id} so an at-least-once replayed batch
     finds the committed delta and returns it instead of appending a
-    duplicate (idempotent under restart).
+    duplicate (idempotent under restart). A named delta assumes ONE writer
+    per name at a time (Structured Streaming serializes epochs, which is
+    what makes the crashed-epoch RESUME below safe); the claim is still an
+    atomic os.mkdir so a mis-deployed second concurrent writer surfaces as
+    a resumed build over committed lineage, never two builds interleaving
+    uncoordinated into a half-claimed directory.
     """
     base = Index.load(base_dir)
     root = os.path.join(base_dir, _DELTAS)
     os.makedirs(root, exist_ok=True)
     if delta_name is not None:
         delta_dir = os.path.join(root, delta_name)
-        if os.path.exists(os.path.join(delta_dir, "stats.json")):
-            return Index.load(delta_dir)  # committed replay: no-op
-        os.makedirs(delta_dir, exist_ok=True)
+        try:
+            os.mkdir(delta_dir)  # atomic claim, same as the numbered path
+        except FileExistsError:
+            if os.path.exists(os.path.join(delta_dir, "stats.json")):
+                return Index.load(delta_dir)  # committed replay: no-op
+            # uncommitted claim = crashed prior epoch -> resume from lineage
     else:
         n = len(os.listdir(root))  # count ALL entries incl. in-flight claims
         while True:
@@ -158,45 +167,56 @@ class IndexGroup:
         # group tombstones on the main part and applies the union at read
         self.parts[0].delete_docs(doc_ids)
 
-    def load_term_postings(self, query_text: str) -> list[TermPostings]:
-        """Merged-on-read decode: per term, concatenate every part's postings
-        and score with group-global (N, avgdl, df).
-
-        Mirrors wand.load_term_postings but with cross-part stats — kept
-        separate because the single-index path precomputes block-max WAND
-        metadata that is only valid for its own stats; the group path serves
-        through the exact vectorized scorer instead (block maxes become
-        valid again after compact_index).
+    def _fetch_rows(self, query_text: str):
+        """Posting rows for the query terms from EVERY part, plus per-(term,
+        part) df. Returns (rows [(term, part_idx, row)], df_total {term: df}).
         """
         import pyarrow.compute as pc
 
         cfg = self.cfg
         qterms = sorted(set(tokenize_py(query_text, cfg)))
         if not qterms:
-            return []
+            return [], {}
         id_to_term: dict[int, str] = {}
         for t in qterms:
             id_to_term.setdefault(term_id_py(t), t)
         qids = sorted(id_to_term)
         tbs = sorted({i % cfg.n_segments for i in qids})
         flt = pc.field("tb").isin(tbs) & pc.field("term_id").isin(qids)
-        per_term: dict[str, list[dict]] = {}
+        rows: list[tuple[str, int, dict]] = []
         part_df: dict[tuple[str, int], int] = {}
         for pi, p in enumerate(self.parts):
             for r in p.dataset().to_table(filter=flt).to_pylist():
                 term = id_to_term[r["term_id"]]
-                per_term.setdefault(term, []).append(r)
+                rows.append((term, pi, r))
                 # every row of a term within one part carries that part's
                 # full df — record it once per (term, part)
                 part_df[(term, pi)] = int(r["df"])
+        df_total: dict[str, int] = {}
+        for (term, _), v in part_df.items():
+            df_total[term] = df_total.get(term, 0) + v
+        return rows, df_total
+
+    def load_term_postings(self, query_text: str) -> list[TermPostings]:
+        """Merged-on-read decode: per term, concatenate every part's postings
+        and score with group-global (N, avgdl, df).
+
+        Mirrors wand.load_term_postings but with cross-part stats — the
+        exactness referent for the group's blockmax path (the default
+        serving path, load_term_postings_raw).
+        """
+        rows_all, df_total = self._fetch_rows(query_text)
+        per_term: dict[str, list[dict]] = {}
+        for term, _pi, r in rows_all:
+            per_term.setdefault(term, []).append(r)
+        cfg = self.cfg
 
         ts = self.tombstones()
         ts_arr = np.fromiter(ts, dtype=np.int64) if ts else None
         out: list[TermPostings] = []
         for term in sorted(per_term):
             rows = per_term[term]
-            df_total = sum(v for (t, _), v in part_df.items() if t == term)
-            w = idf_fn(self.n_docs, df_total)
+            w = idf_fn(self.n_docs, df_total[term])
             ids_l, tfs_l, dls_l = [], [], []
             for r in rows:
                 ids = decode_ids_blocked(bytes(r["doc_ids_bin"]), cfg.block_size)
@@ -223,8 +243,78 @@ class IndexGroup:
             )
         return out
 
-    def topk(self, query_text: str, k: int = 10) -> list[tuple[int, float]]:
-        return vectorized_topk(self.load_term_postings(query_text), k)
+    def load_term_postings_raw(self, query_text: str) -> list[RawTermPostings]:
+        """UNDECODED posting rows with group-valid block-max bounds — the
+        delta-phase scale path. Between appends and compaction, stored
+        block_maxes were computed with PART-local stats (w_p = idf over the
+        part's N/df, A_p = the part's avgdl); the group scores with
+        w_g / A_g. Rescaling is cheap math, no rebuild:
+
+          contribution = idf * f(tf, dl; avgdl)   is linear in idf, and
+          f(tf, dl; A_g) <= f(tf, dl; A_p) * max(1, A_g / A_p)
+            (f = tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl/avgdl): the ratio
+             (C + r_p*dl)/(C + r_g*dl) is monotone in dl, bounded by
+             r_p/r_g = A_g/A_p; <= 1 when A_g <= A_p)
+
+        so  stored_max * (w_g / w_p) * max(1, A_g / A_p)  is a valid upper
+        bound on any group-stat contribution in the block, and the lazy
+        block-max scorer (wand.blockmax_topk) prunes the live group exactly
+        like a compacted index. idf is strictly positive (ln(1 + x), x > 0),
+        so the quotient is always defined. Exact scores are still computed
+        from raw tf/dl with group stats at decode time — bounds only steer
+        the pruning, never the score. Olaf analogue: live appends share the
+        sorted B+tree read path with queries (src/olaf_db.c:309-311).
+        """
+        rows_all, df_total = self._fetch_rows(query_text)
+        out: list[RawTermPostings] = []
+        for term, pi, r in sorted(rows_all, key=lambda x: (x[0], x[1], x[2]["chunk"])):
+            part = self.parts[pi]
+            w_g = idf_fn(self.n_docs, df_total[term])
+            w_p = idf_fn(part.n_docs, int(r["df"]))
+            scale = (w_g / w_p) * max(1.0, self.avgdl / part.avgdl)
+            out.append(
+                RawTermPostings(
+                    term=term,
+                    idf=w_g,
+                    id_buf=bytes(r["doc_ids_bin"]),
+                    tf_buf=bytes(r["tfs_bin"]),
+                    dl_buf=bytes(r["doc_lens_bin"]),
+                    id_offs=np.asarray(r["id_offs"], dtype=np.int64),
+                    tf_offs=np.asarray(r["tf_offs"], dtype=np.int64),
+                    dl_offs=np.asarray(r["dl_offs"], dtype=np.int64),
+                    block_lasts=np.asarray(r["block_lasts"], dtype=np.int64),
+                    block_maxes=np.asarray(r["block_maxes"], dtype=np.float64) * scale,
+                )
+            )
+        return out
+
+    def topk(
+        self,
+        query_text: str,
+        k: int = 10,
+        method: str = "blockmax",
+        min_score: float | None = None,
+        _prune_stats: dict | None = None,
+    ) -> list[tuple[int, float]]:
+        """Group top-k, rank- AND score-identical to a clean rebuild.
+
+        method="blockmax" (default): idf-rescaled block-max pruning + lazy
+        decode — only blocks that can beat theta are ever decoded, so the
+        delta-phase read path keeps its pruning exactly when the index is
+        biggest. method="vectorized": full decode, the exactness referent.
+        """
+        if min_score is None:
+            min_score = self.cfg.min_score
+        if method == "blockmax":
+            return blockmax_topk(
+                self.load_term_postings_raw(query_text),
+                k, self.cfg, self.avgdl, self.tombstones(), min_score,
+                stats_out=_prune_stats,
+            )
+        hits = vectorized_topk(self.load_term_postings(query_text), k)
+        if min_score > 0.0:
+            hits = [(d, s) for d, s in hits if s >= min_score]
+        return hits
 
 
 def _make_compact_fn(n_docs: int, avgdl: float, cfg: EngineConfig, tombstones: set[int]):
@@ -246,11 +336,16 @@ def _make_compact_fn(n_docs: int, avgdl: float, cfg: EngineConfig, tombstones: s
         unique across parts), both of which hold. df arrives precomputed on
         every row (df_full, the per-part-df pre-agg sum), so idf and block
         maxes are exact regardless of task boundaries.
+
+        Streams complete term groups via _iter_term_chunks — resident
+        memory is O(arrow batch + one term's slice), never the partition.
         """
-        batches = [p for p in pdf_iter if len(p)]
-        if not batches:
-            return
-        pdf = pd.concat(batches, ignore_index=True)
+        for pdf in _iter_term_chunks(pdf_iter):
+            out = _compact_chunk(pdf)
+            if out is not None:
+                yield out
+
+    def _compact_chunk(pdf: pd.DataFrame) -> pd.DataFrame | None:
         terms = pdf["term_id"].to_numpy(dtype=np.int64)
         df_fulls = pdf["df_full"].to_numpy(dtype=np.int64)
         id_bufs = pdf["doc_ids_bin"].to_numpy()
@@ -306,7 +401,7 @@ def _make_compact_fn(n_docs: int, avgdl: float, cfg: EngineConfig, tombstones: s
                 blk_maxes.append(bmax.tolist())
 
         if not out_terms:
-            return
+            return None  # every posting in this slice tombstoned away
         gs = np.asarray(group_starts, dtype=np.int64)
         id_bin, id_offs = encode_grouped_blocked(
             np.concatenate(all_ids), gs, block_size, delta=True
@@ -317,7 +412,7 @@ def _make_compact_fn(n_docs: int, avgdl: float, cfg: EngineConfig, tombstones: s
         dl_bin, dl_offs = encode_grouped_blocked(
             np.concatenate(all_dls), gs, block_size, delta=False
         )
-        yield pd.DataFrame(
+        return pd.DataFrame(
             {
                 "term_id": np.asarray(out_terms, dtype=np.int64),
                 "df": np.asarray(dfs, dtype=np.int64),
@@ -363,63 +458,173 @@ def _first_doc_udf():
     return first_doc
 
 
+def _completed_compact_groups(out_dir: str) -> set[int]:
+    """Driver-side lineage read: which tb-range groups already committed."""
+    import pyarrow.dataset as ds
+
+    lin_dir = os.path.join(out_dir, "lineage")
+    if not os.path.isdir(lin_dir):
+        return set()
+    dataset = ds.dataset(lin_dir, format="parquet")
+    if not dataset.schema.names:
+        return set()
+    tbl = dataset.to_table(columns=["stage", "status", "partition_id"])
+    return {
+        int(p)
+        for s, st, p in zip(
+            tbl["stage"].to_pylist(),
+            tbl["status"].to_pylist(),
+            tbl["partition_id"].to_pylist(),
+        )
+        if s == "compact_group" and st == "done"
+    }
+
+
 def compact_index(
     spark: SparkSession,
     base_dir: str,
     out_dir: str,
     n_merge_tasks: int | None = None,
+    n_groups: int = 4,
+    _after_group=None,
 ) -> Index:
     """Fold main + deltas (+ tombstones) into one fresh single index.
 
-    One distributed pass: union every part's postings, shuffle by term shard,
-    k-way merge per term, recompute block-max metadata under group stats.
-    After compaction the WAND serving path is valid again for the whole
-    corpus. The group's scoring statistics are carried forward verbatim, so
-    ranks and scores are unchanged by compaction.
+    Distributed pass per tb-range group: union every part's postings,
+    shuffle by term shard, k-way merge per term, recompute block-max
+    metadata under group stats. After compaction the WAND serving path is
+    valid again for the whole corpus. The group's scoring statistics are
+    carried forward verbatim, so ranks and scores are unchanged by
+    compaction.
+
+    RESUMABLE (north_rule; reference analogue: the restartable two-phase
+    bulk load, src/olaf_fp_db_writer_cache.c:92-114): the tb domain splits
+    into n_groups contiguous ranges; each range compacts as its own job
+    into a staging dir, its tb partitions are promoted into postings/ by
+    atomic rename, and a `compact_group` lineage row commits it. A killed
+    compaction re-run with the same out_dir skips committed ranges and
+    redoes only the interrupted one (its partial tb dirs are discarded
+    first — they were never committed). The tombstone set is SNAPSHOTTED at
+    first start (_staging/tombstones_snapshot.json), so a resume drops
+    exactly the postings the original run would have; deletes landing on
+    the base mid-compaction must be re-applied to the compacted index (the
+    same snapshot semantics the single-pass version had). The index is only
+    loadable once stats.json lands at the very end — the overall commit
+    marker.
 
     Doc-range parallel like the build merge (indexer.py stage 2): the
     shuffle range-partitions on (tb, term_id, first_doc) — first_doc being
     each packed row's first doc_id — so a 10^12-scale head term's rows can
     split across tasks instead of one task decoding the term's full posting
     set. Group df rides a per-part pre-agg join (df_full), making scores
-    independent of task boundaries.
+    independent of task boundaries (exact per group: a term lives in
+    exactly one tb, so per-group pre-aggs see every row of their terms).
     """
     import json
+    import shutil
     import time
+
+    import pyarrow.dataset as pads
+
+    from olaf_spark.indexer import _write_lineage
 
     group = IndexGroup.load(base_dir)
     cfg = group.cfg
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
     cfg.save(out_dir)
+    post_dir = os.path.join(out_dir, "postings")
+    lin_dir = os.path.join(out_dir, "lineage")
+    staging_root = os.path.join(out_dir, "_staging")
+    os.makedirs(post_dir, exist_ok=True)
+    os.makedirs(staging_root, exist_ok=True)
+
+    # tombstone snapshot: first run records it, resume replays it verbatim
+    snap_path = os.path.join(staging_root, "tombstones_snapshot.json")
+    if os.path.exists(snap_path):
+        with open(snap_path) as f:
+            tombstones = set(json.load(f))
+    else:
+        tombstones = group.tombstones()
+        tmp = snap_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(sorted(tombstones), f)
+        os.replace(tmp, snap_path)
 
     dfs = [p.postings(spark) for p in group.parts]
     all_rows = dfs[0].withColumn("part", F.lit(0))
     for pi, d in enumerate(dfs[1:], start=1):
         all_rows = all_rows.unionByName(d.withColumn("part", F.lit(pi)))
-    # group df = sum over parts of the per-part df (every chunk row of a
-    # term within one part repeats that part's full df -> min() picks it
-    # once per part). Broadcast when small, shuffle-join at 10^9-term scale.
-    df_tbl = (
-        all_rows.groupBy("term_id", "part")
-        .agg(F.min("df").alias("part_df"))
-        .groupBy("term_id")
-        .agg(F.sum("part_df").alias("df_full"))
+    all_rows = all_rows.withColumn(
+        "tb", shard_from_id_col(F.col("term_id"), cfg.n_segments)
     )
-    compact_fn = _make_compact_fn(group.n_docs, group.avgdl, cfg, group.tombstones())
+    compact_fn = _make_compact_fn(group.n_docs, group.avgdl, cfg, tombstones)
     if n_merge_tasks is None:
         n_merge_tasks = max(cfg.n_segments, 128)
-    merged = (
-        all_rows.join(df_tbl, "term_id")
-        .withColumn("tb", shard_from_id_col(F.col("term_id"), cfg.n_segments))
-        .withColumn("first_doc", _first_doc_udf()(F.col("doc_ids_bin")))
-        .repartitionByRange(n_merge_tasks, "tb", "term_id", "first_doc")
-        .sortWithinPartitions("term_id", "first_doc")
-        .mapInPandas(compact_fn, POSTINGS_SCHEMA)
-        .withColumn("tb", shard_from_id_col(F.col("term_id"), cfg.n_segments))
-    )
-    post_dir = os.path.join(out_dir, "postings")
-    merged.write.mode("overwrite").partitionBy("tb").parquet(post_dir)
+    n_groups = max(1, min(n_groups, cfg.n_segments))
+
+    done = _completed_compact_groups(out_dir)
+    for g in range(n_groups):
+        if g in done:
+            continue
+        g_t0 = time.time()
+        tb_lo = g * cfg.n_segments // n_groups
+        tb_hi = (g + 1) * cfg.n_segments // n_groups  # exclusive
+        g_rows = all_rows.where((F.col("tb") >= tb_lo) & (F.col("tb") < tb_hi))
+        # group df = sum over parts of the per-part df (every chunk row of a
+        # term within one part repeats that part's full df -> min() picks it
+        # once per part). Broadcast when small, shuffle-join at 10^9 terms.
+        df_tbl = (
+            g_rows.groupBy("term_id", "part")
+            .agg(F.min("df").alias("part_df"))
+            .groupBy("term_id")
+            .agg(F.sum("part_df").alias("df_full"))
+        )
+        merged = (
+            g_rows.drop("tb").join(df_tbl, "term_id")
+            .withColumn("tb", shard_from_id_col(F.col("term_id"), cfg.n_segments))
+            .withColumn("first_doc", _first_doc_udf()(F.col("doc_ids_bin")))
+            .repartitionByRange(n_merge_tasks, "tb", "term_id", "first_doc")
+            .sortWithinPartitions("term_id", "first_doc")
+            .mapInPandas(compact_fn, POSTINGS_SCHEMA)
+            .withColumn("tb", shard_from_id_col(F.col("term_id"), cfg.n_segments))
+        )
+        stage_dir = os.path.join(staging_root, f"group_{g:04d}")
+        merged.write.mode("overwrite").partitionBy("tb").parquet(stage_dir)
+
+        # promote: discard partial tb dirs from a crashed prior attempt of
+        # THIS group (never committed), then atomic-rename the staged ones
+        out_rows = out_bytes = 0
+        for name in sorted(os.listdir(stage_dir)):
+            if not name.startswith("tb="):
+                continue
+            src = os.path.join(stage_dir, name)
+            dst = os.path.join(post_dir, name)
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            out_rows += pads.dataset(src, format="parquet").count_rows()
+            out_bytes += sum(
+                os.path.getsize(os.path.join(dp, fn))
+                for dp, _dirs, fns in os.walk(src)
+                for fn in fns
+            )
+            os.rename(src, dst)
+        _write_lineage(
+            [
+                dict(
+                    stage="compact_group", partition_id=g,
+                    input_rows=-1, output_rows=out_rows,
+                    wall_s=time.time() - g_t0,
+                    rows_per_s=(out_rows / (time.time() - g_t0) if time.time() > g_t0 else 0.0),
+                    bytes_out=out_bytes, status="done", ts=time.time(),
+                )
+            ],
+            lin_dir,
+        )
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        if _after_group is not None:
+            _after_group(g)
+    shutil.rmtree(staging_root, ignore_errors=True)
 
     # chunk ordinals are task-local (a split term emits chunk 0 in several
     # tasks), so count terms/postings via a distinct-term agg, not chunk==0
@@ -439,8 +644,6 @@ def compact_index(
         "bytes": brow["bytes"],
     }
     wall = time.time() - t0
-    from olaf_spark.indexer import _write_lineage
-
     _write_lineage(
         [
             dict(

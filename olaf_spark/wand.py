@@ -370,6 +370,7 @@ def blockmax_topk(
     avgdl: float,
     tombstones: set[int] | None = None,
     min_score: float = 0.0,
+    stats_out: dict | None = None,
 ) -> list[tuple[int, float]]:
     """Exact BM25 top-k with VECTORIZED block-max pruning + lazy decode.
 
@@ -397,6 +398,9 @@ def blockmax_topk(
     Rank- and score-identical to vectorized_topk/exhaustive_topk
     (tests/test_index_wand.py), including under tombstones (deleting docs
     only lowers true scores; stored maxes stay upper bounds).
+
+    stats_out (optional dict) receives n_blocks_total / n_blocks_decoded —
+    the pruning evidence the skip tests assert on.
     """
     if not raw_lists or k <= 0:
         return []
@@ -436,19 +440,25 @@ def blockmax_topk(
     surviving = ub >= theta if np.isfinite(theta) else np.ones(grid.size, dtype=bool)
 
     # ---- 3. decode surviving blocks, exact score, top-k --------------------
+    n_decoded = 0
     ids_l, sc_l = [], []
     for li, (rp, (idx, valid)) in enumerate(zip(raw_lists, block_idx)):
         if li in theta_decoded:
             ids, scores = theta_decoded[li]  # already fully decoded for theta
+            n_decoded += int(rp.block_lasts.size)
             ids_l.append(ids)
             sc_l.append(scores)
             continue
         blocks = np.unique(idx[surviving & valid])
+        n_decoded += int(blocks.size)
         if blocks.size == 0:
             continue
         ids, scores = _decode_blocks(rp, blocks, cfg, avgdl)
         ids_l.append(ids)
         sc_l.append(scores)
+    if stats_out is not None:
+        stats_out["n_blocks_total"] = int(n_all.sum())
+        stats_out["n_blocks_decoded"] = n_decoded
     if not ids_l:
         return []
     ids = np.concatenate(ids_l)

@@ -68,6 +68,43 @@ def test_append_equals_clean_rebuild(spark, halves, grouped, tmp_path):
         assert_identical(vectorized_topk(load_term_postings(spark, clean, q), K), want)
 
 
+def test_group_blockmax_matches_vectorized(spark, grouped):
+    """The delta-phase blockmax path (idf-rescaled stored bounds + lazy
+    decode) must be rank- AND score-identical to the full-decode referent."""
+    group, _ = grouped
+    for q in QUERIES:
+        want = group.topk(q, K, method="vectorized")
+        assert_identical(group.topk(q, K, method="blockmax"), want)
+
+
+def test_group_blockmax_thresholded_skips_blocks(spark, grouped):
+    """On a thresholded group query the rescaled bounds must actually PRUNE:
+    fewer blocks decoded than exist — the whole point of serving block maxes
+    through the delta phase — while staying exact."""
+    group, _ = grouped
+    q = "w2 w17 w300"
+    top = group.topk(q, 1, method="vectorized")
+    thr = top[0][1] * 0.95
+    stats: dict = {}
+    got = group.topk(q, K, method="blockmax", min_score=thr, _prune_stats=stats)
+    want = [(d, s) for d, s in group.topk(q, K, method="vectorized") if s >= thr]
+    assert_identical(got, want)
+    assert 0 < stats["n_blocks_decoded"] < stats["n_blocks_total"], stats
+
+
+def test_group_blockmax_with_tombstones(spark, grouped):
+    group, base = grouped
+    victim = group.topk("needle97 w2", 1, method="vectorized")[0][0]
+    try:
+        group.delete_docs([victim])
+        for q in ("needle97 w2", QUERIES[0]):
+            want = group.topk(q, K, method="vectorized")
+            assert_identical(group.topk(q, K, method="blockmax"), want)
+            assert all(d != victim for d, _ in want)
+    finally:
+        group.parts[0].undelete_docs([victim])
+
+
 def test_multiple_deltas(spark, halves, tmp_path):
     pages, a, b = halves
     b1 = b.where("doc_id % 4 = 1")
@@ -139,6 +176,41 @@ def test_compact_splits_head_terms_doc_range_parallel(spark, halves, tmp_path):
 
     for q in QUERIES:
         want = group.topk(q, K)
+        assert_identical(query_index(spark, compacted, q, K, method="vectorized"), want)
+        assert_identical(query_index(spark, compacted, q, K, method="wand"), want)
+
+
+def test_compact_resume_after_kill(spark, grouped, tmp_path):
+    """Kill-after-first-range restart: the committed tb-range is skipped on
+    resume (lineage says so), partial state is invisible (no stats.json ->
+    not loadable), and the resumed compaction is rank/score-identical to
+    merged-on-read through both scorers."""
+    import os
+
+    from olaf_spark.incremental import _completed_compact_groups
+
+    group, base = grouped
+    out = str(tmp_path / "resume")
+
+    class Boom(Exception):
+        pass
+
+    def bomb(g):
+        raise Boom(g)
+
+    with pytest.raises(Boom):
+        compact_index(spark, base, out, n_groups=4, _after_group=bomb)
+    assert not os.path.exists(os.path.join(out, "stats.json"))  # uncommitted
+    assert _completed_compact_groups(out) == {0}
+
+    resumed_groups: list[int] = []
+    compacted = compact_index(
+        spark, base, out, n_groups=4, _after_group=resumed_groups.append
+    )
+    assert resumed_groups == [1, 2, 3]  # group 0 skipped on resume
+    assert not os.path.exists(os.path.join(out, "_staging"))
+    for q in QUERIES:
+        want = group.topk(q, K, method="vectorized")
         assert_identical(query_index(spark, compacted, q, K, method="vectorized"), want)
         assert_identical(query_index(spark, compacted, q, K, method="wand"), want)
 
