@@ -163,6 +163,43 @@ def bucket_expr(id_col, lo: int, width: int, n_buckets: int):
     )
 
 
+def _iter_term_chunks(pdf_iter):
+    """Regroup an Arrow batch stream (rows sorted by term_id within the
+    partition) into frames of COMPLETE term groups.
+
+    Concatenating the whole partition (`pd.concat(list(pdf_iter))`) before
+    the group loop forfeits mapInPandas's streaming iterator — task memory
+    becomes the full partition. This generator instead flushes closed term
+    groups as each batch arrives and carries only the still-open tail term
+    forward, so resident memory is O(arrow batch + largest single term's
+    rows in this task) — the latter already bounded by doc-range splitting
+    (stage-1 buckets / the merge's (tb, term, bucket|first_doc) range key).
+    A mega-term spanning many batches accumulates as a LIST of frames and
+    concatenates once at flush (no quadratic re-concat churn).
+    """
+    buf: list[pd.DataFrame] = []
+    for pdf in pdf_iter:
+        if not len(pdf):
+            continue
+        terms = pdf["term_id"].to_numpy()
+        # rows are term_id-sorted, so searchsorted finds where the (possibly
+        # still-open) LAST term begins; everything before it is closed
+        cut = int(np.searchsorted(terms, terms[-1], side="left"))
+        if cut > 0:
+            closed = pdf.iloc[:cut]
+            if buf:
+                buf.append(closed)
+                yield pd.concat(buf, ignore_index=True)
+                buf = []
+            else:
+                yield closed.reset_index(drop=True)
+        buf.append(pdf.iloc[cut:])
+    if buf:
+        tail = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0].reset_index(drop=True)
+        if len(tail):
+            yield tail
+
+
 def _make_pack_stage1(lo: int, width: int, n_buckets: int):
     """One sorted partition of occurrence rows (term_id, doc_id, doc_len)
     -> one packed segment row per (term, bucket) group, in ONE vectorized
@@ -174,15 +211,12 @@ def _make_pack_stage1(lo: int, width: int, n_buckets: int):
     Sorting by (term_id, doc_id) suffices — bucket is monotone in doc_id,
     so (term, bucket) runs are contiguous. A groupBy.applyInPandas would
     invoke Python once per group (hundreds of thousands of 1-row pandas
-    frames — measured 4-7 minutes at 40k docs); this processes a whole
-    partition with numpy group-boundary detection instead.
+    frames — measured 4-7 minutes at 40k docs); this processes complete
+    term-group chunks with numpy group-boundary detection instead —
+    streamed through _iter_term_chunks, never the whole partition at once.
     """
 
-    def _pack(pdf_iter) -> "pd.DataFrame":
-        batches = [p for p in pdf_iter if len(p)]
-        if not batches:
-            return
-        pdf = pd.concat(batches, ignore_index=True)
+    def _pack_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
         terms = pdf["term_id"].to_numpy(dtype=np.int64)
         ids_all = pdf["doc_id"].to_numpy(dtype=np.int64)
@@ -209,7 +243,7 @@ def _make_pack_stage1(lo: int, width: int, n_buckets: int):
         # from a cheap segment scan, not a second corpus tokenize pass)
         sum_tf = np.diff(np.append(g_starts_rows, n))
 
-        yield pd.DataFrame(
+        return pd.DataFrame(
             {
                 "term_id": terms[g_starts_rows],
                 "bucket": buckets[g_starts_rows],
@@ -220,6 +254,10 @@ def _make_pack_stage1(lo: int, width: int, n_buckets: int):
                 "doc_lens_bin": encode_grouped(dls, g_starts, delta=False),
             }
         )
+
+    def _pack(pdf_iter):
+        for pdf in _iter_term_chunks(pdf_iter):
+            yield _pack_chunk(pdf)
 
     return _pack
 
@@ -242,11 +280,14 @@ def _make_merge_fn(n_docs: int, avgdl: float, cfg: EngineConfig):
         idf and block maxes are exact regardless of which task packs which
         range. `chunk` is a task-local ordinal (rows of one term are
         doc-range disjoint; nothing depends on chunk numbering).
+
+        Streams complete term groups via _iter_term_chunks — resident
+        memory is O(arrow batch + one term's runs), never the partition.
         """
-        batches = [p for p in pdf_iter if len(p)]
-        if not batches:
-            return
-        pdf = pd.concat(batches, ignore_index=True)
+        for pdf in _iter_term_chunks(pdf_iter):
+            yield _merge_chunk(pdf)
+
+    def _merge_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
         terms = pdf["term_id"].to_numpy(dtype=np.int64)
         df_fulls = pdf["df_full"].to_numpy(dtype=np.int64)
         # plain object arrays: .iloc in the hot loop costs ~10us per access,
@@ -301,7 +342,7 @@ def _make_merge_fn(n_docs: int, avgdl: float, cfg: EngineConfig):
         id_bin, id_offs = encode_grouped_blocked(cat(all_ids), gs, block_size, delta=True)
         tf_bin, tf_offs = encode_grouped_blocked(cat(all_tfs), gs, block_size, delta=False)
         dl_bin, dl_offs = encode_grouped_blocked(cat(all_dls), gs, block_size, delta=False)
-        yield pd.DataFrame(
+        return pd.DataFrame(
             {
                 "term_id": np.asarray(out_terms, dtype=np.int64),
                 "df": np.asarray(dfs, dtype=np.int64),
@@ -389,14 +430,34 @@ class Index:
     def _tombstone_path(self) -> str:
         return os.path.join(self.index_dir, "tombstones.json")
 
+    def _read_tombstones_disk(self) -> set[int]:
+        try:
+            with open(self._tombstone_path) as f:
+                return set(json.load(f))
+        except FileNotFoundError:
+            return set()
+
     def tombstones(self) -> set[int]:
         if self._tombstones is None:
-            if not os.path.exists(self._tombstone_path):
-                self._tombstones = set()
-            else:
-                with open(self._tombstone_path) as f:
-                    self._tombstones = set(json.load(f))
+            self._tombstones = self._read_tombstones_disk()
         return self._tombstones
+
+    def _commit_tombstones(self, ts: set[int]) -> None:
+        """Atomic commit (tmp + os.replace — the same commit-file pattern as
+        lineage manifests and the delta mkdir claim): a crash mid-write
+        leaves the previous file intact, never truncated JSON. Writers
+        re-read the on-disk state immediately before publishing, so two
+        racing delete/undelete calls converge on the union of their intents
+        instead of last-writer-wins over stale caches."""
+        import uuid
+
+        tmp = f"{self._tombstone_path}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(sorted(ts), f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._tombstone_path)
+        self._tombstones = ts
 
     def delete_docs(self, doc_ids: list[int]) -> None:
         """Merge-on-read deletion: doc_ids are tombstoned, not rewritten —
@@ -404,18 +465,12 @@ class Index:
         correct move: rewriting a 100 TB index for a delete is not).
         A compaction would rebuild only the buckets containing them.
         """
-        ts = self.tombstones() | {int(d) for d in doc_ids}
-        with open(self._tombstone_path, "w") as f:
-            json.dump(sorted(ts), f)
-        self._tombstones = ts
+        self._commit_tombstones(self._read_tombstones_disk() | {int(d) for d in doc_ids})
 
     def undelete_docs(self, doc_ids: list[int]) -> None:
         """Restore previously deleted docs (Olaf's re-store restores counts,
         tests/olaf_functional_tests.zig:462-560 analogue)."""
-        ts = self.tombstones() - {int(d) for d in doc_ids}
-        with open(self._tombstone_path, "w") as f:
-            json.dump(sorted(ts), f)
-        self._tombstones = ts
+        self._commit_tombstones(self._read_tombstones_disk() - {int(d) for d in doc_ids})
 
 
 _LINEAGE_SCHEMA_PD = {

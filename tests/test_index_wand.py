@@ -259,6 +259,49 @@ def test_delete_and_restore(spark, built, tmp_path):
     assert_identical(query_index(spark, ix, "needle97", k=5), before)
 
 
+def test_build_streams_small_arrow_batches(spark, built, tmp_path):
+    """Pack/merge correctness must be independent of Arrow batch slicing:
+    with tiny batches every head term spans MANY batches and the
+    _iter_term_chunks carry logic must reassemble complete groups (this is
+    the streaming-decode path that caps task memory at O(term-chunk)
+    instead of O(partition))."""
+    from olaf_spark.wand import vectorized_topk
+
+    pages, oracle, _ = built
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "64")
+    try:
+        ix = build_index(spark, pages, str(tmp_path / "smallb"), CFG, n_buckets=4)
+    finally:
+        spark.conf.set(key, old)
+    for q in ["w2 w17 w300", "needle97 w2", "w3 w5 w7 w11"]:
+        assert_identical(
+            vectorized_topk(load_term_postings(spark, ix, q), 10), oracle.topk(q, 10)
+        )
+
+
+def test_tombstone_commits_atomic_and_union_survives(spark, built, tmp_path):
+    """Two independent writers (separate Index handles with stale caches)
+    deleting different docs: the commit protocol re-reads disk before the
+    atomic replace, so the UNION of intents survives — and no partial tmp
+    file is left behind (a crash mid-write can only leave the old file)."""
+    import os
+    import shutil
+
+    _, _, index = built
+    d = str(tmp_path / "ts_ix")
+    shutil.copytree(index.index_dir, d)
+    a, b = Index.load(d), Index.load(d)
+    a.tombstones(), b.tombstones()  # both caches warmed (stale after writes)
+    a.delete_docs([11])
+    b.delete_docs([22])  # b's cache never saw 11; the re-read must
+    assert Index.load(d).tombstones() == {11, 22}
+    a.undelete_docs([11])  # a's cache never saw 22
+    assert Index.load(d).tombstones() == {22}
+    assert not [f for f in os.listdir(d) if ".tmp." in f]
+
+
 def test_resume_skips_done_buckets_and_matches_clean(spark, built, tmp_path):
     """Kill-after-stage-1-subset restart: output equals a clean build."""
     pages, oracle, index = built
