@@ -48,23 +48,28 @@ PARTIAL_SCHEMA = "query_id long, doc_id long, term string, contrib double"
 
 
 def _make_score_partials(
-    subs: dict[int, list[tuple[int, str]]],
+    bsubs,
     n_docs: int,
     avgdl: float,
     k1: float,
     b: float,
     block_size: int,
-    tombstones: frozenset[int],
 ):
     """mapInPandas fn: posting rows -> (query_id, doc_id, term, contrib).
 
     Decode + BM25 contribution happen ONCE per posting row; queries sharing
     a term reuse the same contribution arrays (BM25 term contributions do
     not depend on the query, only on (term, doc) stats).
+
+    bsubs is a SparkContext BROADCAST of (subs, tombstone int64 array |
+    None) — captured by handle, not by value: closure capture re-pickles
+    the whole subscription map into every task launch (MBs per task at
+    B=100k queries x many terms), while a broadcast ships it once per
+    executor and tasks dereference it.
     """
-    ts_arr = np.fromiter(tombstones, dtype=np.int64) if tombstones else None
 
     def score(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        subs, ts_arr = bsubs.value
         for pdf in pdf_iter:
             if not len(pdf):
                 continue
@@ -147,10 +152,12 @@ def batch_query_index(
     postings = index.postings(spark).where(
         F.col("tb").isin(tbs) & F.col("term_id").isin(qids_terms)
     )
+    ts = index.tombstones()
+    ts_arr = np.fromiter(ts, dtype=np.int64) if ts else None
+    bsubs = spark.sparkContext.broadcast((subs, ts_arr))
     partials = postings.mapInPandas(
         _make_score_partials(
-            subs, index.n_docs, index.avgdl, cfg.k1, cfg.b, cfg.block_size,
-            frozenset(index.tombstones()),
+            bsubs, index.n_docs, index.avgdl, cfg.k1, cfg.b, cfg.block_size,
         ),
         PARTIAL_SCHEMA,
     )

@@ -14,7 +14,7 @@ Scale notes:
     non-discriminative shingles before the join (a *correct* version of
     Olaf's maxDBCollisions cap: dropping a shingle can only lose candidate
     pairs that other, rarer shared shingles still produce; the cap is an
-    explicit recall knob, default off).
+    explicit recall knob, default 10_000 — see ngram_jaccard_pairs).
   * all hashes are md5 (deterministic, engine-portable).
 """
 
@@ -72,7 +72,7 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 10_000,
     text_col: str = "text",
     id_col: str = "doc_id",
     cfg: EngineConfig = _DEFAULT,
@@ -81,6 +81,19 @@ def ngram_jaccard_pairs(
 
     Candidates come from the shingle self-join (docs sharing >=1 shingle);
     |A| and |B| from per-doc shingle counts; |A∩B| from the pair group count.
+
+    max_shingle_df (default 10_000) drops shingles shared by more docs than
+    the cap BEFORE the self-join — one Zipfy boilerplate shingle with df=D
+    otherwise contributes ~D^2/2 candidate rows (5*10^7 at the default cap,
+    unbounded without it). Recall argument for the default: a shingle
+    common to >10k documents is non-discriminative — it cannot separate
+    near-dup pairs inside a 10k+-doc cohort that all share it — and a TRUE
+    near-dup pair at threshold t shares >= t/(1+t) of its union shingles,
+    so losing it only loses a pair whose EVERY shared shingle is that
+    common, i.e. pure boilerplate twins, which exact/MinHash dedup catches
+    without a join. Jaccard is then computed over the capped shingle sets
+    on both sides (|A|, |B| and the intersection all post-cap), so scores
+    stay internally consistent. None disables the cap (exactness referent).
     """
     sh = doc_shingles(docs, n, text_col, id_col, cfg)
     if max_shingle_df is not None:

@@ -93,13 +93,17 @@ def lsh_band_cols(vec_col, planes: np.ndarray, bands: int) -> list:
     n_planes = len(planes)
     assert n_planes % bands == 0
     per = n_planes // bands
+    # band values are exact integers on both engines; past 62 bits the
+    # packed value would overflow long arithmetic SILENTLY (colliding
+    # buckets, no error) — wider signatures belong in multiple bands
+    assert per < 63, f"band bit width {per} >= 63 overflows the packed long"
     out = []
     for bi in range(bands):
-        val = F.lit(0)
+        val = F.lit(0).cast("long")
         for j in range(per):
             bit = F.when(_plane_dot(vec_col, planes[bi * per + j]) >= 0, 1).otherwise(0)
-            val = val + bit * F.lit(2 ** (per - 1 - j))
-        out.append(val.cast("int"))
+            val = val + bit.cast("long") * F.lit(2 ** (per - 1 - j)).cast("long")
+        out.append(val.cast("long"))
     return out
 
 
@@ -107,6 +111,7 @@ def lsh_band_sql(vec_sql: str, planes: np.ndarray, bands: int) -> list[str]:
     """DuckDB twins of lsh_band_cols."""
     n_planes = len(planes)
     per = n_planes // bands
+    assert per < 63, f"band bit width {per} >= 63 overflows the packed long"
     out = []
     for bi in range(bands):
         terms = [

@@ -48,6 +48,22 @@ def test_ngram_jaccard_planted(docs):
     assert (0, 3) not in pairs             # nothing shared
 
 
+def test_ngram_jaccard_shingle_cap_is_recall_knob(docs):
+    """max_shingle_df drops ubiquitous shingles BEFORE the self-join:
+    identical twins (all of whose shingles have df >= 2) vanish at cap=1 —
+    exactly the documented recall trade — while the default cap (10k) is
+    inert at small df and the capped candidate set is always a subset."""
+    base = {(r["doc_a"], r["doc_b"]) for r in
+            ngram_jaccard_pairs(docs, n=3, threshold=0.0, max_shingle_df=None).collect()}
+    dflt = {(r["doc_a"], r["doc_b"]) for r in
+            ngram_jaccard_pairs(docs, n=3, threshold=0.0).collect()}
+    assert dflt == base  # default cap inert below df 10_000
+    capped = {(r["doc_a"], r["doc_b"]) for r in
+              ngram_jaccard_pairs(docs, n=3, threshold=0.0, max_shingle_df=1).collect()}
+    assert (0, 1) not in capped
+    assert capped <= base
+
+
 def test_minhash_identical_signatures(docs):
     sig = {r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(16))
            for r in minhash_signatures(docs, n_hashes=16).collect()}
