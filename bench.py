@@ -102,6 +102,36 @@ def main() -> None:
         ).save()
         batch32_s = round(time.perf_counter() - t0, 3)
 
+        # B=1024: the broadcast subscription map amortizes over real batch
+        # sizes — per-task cost must not grow with B (subs ride ONE
+        # broadcast, not every task closure)
+        batch_big = [
+            (i, f"spark join window w{i % 200}" if i % 2 else f"data query filter w{i % 97}")
+            for i in range(1024)
+        ]
+        t0 = time.perf_counter()
+        batch_query_index(spark, index, batch_big, k=10).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        batch1024_s = round(time.perf_counter() - t0, 3)
+
+        # delta-phase serving: append half the corpus as a delta and serve
+        # through the group's idf-rescaled block-max path (incremental.py)
+        from olaf_spark.incremental import IndexGroup, append_index
+        from olaf_spark.indexer import build_index as _bi
+
+        gdir = f"{tmp}/gix"
+        _bi(spark, docs.where("doc_id % 2 = 0"), gdir, EngineConfig(), n_buckets=16)
+        append_index(spark, docs.where("doc_id % 2 = 1"), gdir, n_buckets=16)
+        group = IndexGroup.load(gdir)
+        glat = []
+        for i in range(24):
+            q = f"spark join window w{i}" if i % 2 else "data query filter"
+            t0 = time.perf_counter()
+            group.topk(q, 10, method="blockmax")
+            glat.append((time.perf_counter() - t0) * 1000)
+        glat.sort()
+
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     spark.stop()
 
@@ -120,6 +150,10 @@ def main() -> None:
         "bm25_serve_p95_ms": round(lat[int(len(lat) * 0.95)], 2),
         "bm25_batch32_s": batch32_s,
         "bm25_batch_queries_per_s": round(32 / batch32_s, 1) if batch32_s > 0 else None,
+        "bm25_batch1024_s": batch1024_s,
+        "bm25_batch1024_queries_per_s": round(1024 / batch1024_s, 1) if batch1024_s > 0 else None,
+        "group_serve_p50_ms": round(glat[len(glat) // 2], 2),
+        "group_serve_p95_ms": round(glat[int(len(glat) * 0.95)], 2),
         "parallelism": cpus,
     }
     print(json.dumps(out))
