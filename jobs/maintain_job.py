@@ -1,0 +1,130 @@
+"""spark-submit entry point: index maintenance — append deltas, compact,
+delete/undelete.
+
+    spark-submit --py-files /tmp/olaf_spark.zip jobs/maintain_job.py \
+        append  --index s3://bucket/index/v1 --pages s3://bucket/new_pages/ \
+                [--from-html] [--delta-name delta_batch_42] [--n-buckets 64]
+
+    spark-submit --py-files /tmp/olaf_spark.zip jobs/maintain_job.py \
+        compact --index s3://bucket/index/v1 --out s3://bucket/index/v2 \
+                [--n-groups 8] [--n-merge-tasks 4096]
+
+    spark-submit --py-files /tmp/olaf_spark.zip jobs/maintain_job.py \
+        delete   --index ... --doc-ids 123,456     (or --urls-file urls.txt)
+    spark-submit --py-files /tmp/olaf_spark.zip jobs/maintain_job.py \
+        undelete --index ... --doc-ids 123,456
+
+Reference analogue: Olaf's store / delete / re-store maintenance commands
+against the live LMDB store (README.md:245-272, src/olaf_db.c:309-311);
+compaction is the segment fold that makes single-index WAND serving valid
+again. Compaction is RESUMABLE: re-running a killed `compact` with the
+same --out skips committed tb-range groups (per-group lineage).
+
+Each subcommand prints one JSON metrics line (the store-summary analogue,
+cli/olaf_cli_bridge.zig:139-216).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _load_pages(spark: SparkSession, args) -> "object":
+    docs = spark.read.parquet(args.pages)
+    if args.from_html:
+        from olaf_spark.extract import extract_text_udf
+
+        docs = docs.withColumn("text", extract_text_udf(F.col("html")))
+    # doc_id = xxhash64(url): deterministic, globally unique for unique urls
+    # (Olaf's olaf_db_string_hash analogue, src/olaf_db.c:122-139)
+    if "doc_id" not in docs.columns:
+        docs = docs.withColumn("doc_id", F.xxhash64(F.col("url")))
+    return docs.select("doc_id", "text")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_app = sub.add_parser("append", help="append new docs as a delta index")
+    p_app.add_argument("--index", required=True)
+    p_app.add_argument("--pages", required=True)
+    p_app.add_argument("--from-html", action="store_true")
+    p_app.add_argument("--delta-name", default=None)
+    p_app.add_argument("--n-buckets", type=int, default=16)
+
+    p_cmp = sub.add_parser("compact", help="fold main + deltas into a fresh index")
+    p_cmp.add_argument("--index", required=True)
+    p_cmp.add_argument("--out", required=True)
+    p_cmp.add_argument("--n-groups", type=int, default=4)
+    p_cmp.add_argument("--n-merge-tasks", type=int, default=None)
+
+    for name in ("delete", "undelete"):
+        p = sub.add_parser(name)
+        p.add_argument("--index", required=True)
+        p.add_argument("--doc-ids", default=None, help="comma-separated doc ids")
+        p.add_argument("--urls-file", default=None, help="one url per line -> xxhash64")
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName(f"olaf_spark_{args.cmd}").getOrCreate()
+    t0 = time.time()
+
+    if args.cmd == "append":
+        from olaf_spark.incremental import append_index
+
+        delta = append_index(
+            spark, _load_pages(spark, args), args.index,
+            n_buckets=args.n_buckets, delta_name=args.delta_name,
+        )
+        print(json.dumps({
+            "cmd": "append", "delta_dir": delta.index_dir,
+            "n_docs": delta.n_docs, "n_postings": delta.stats["n_postings"],
+            "packed_bytes": delta.stats["packed_bytes"],
+            "wall_s": round(time.time() - t0, 2),
+            "docs_per_s": round(delta.n_docs / max(time.time() - t0, 1e-9), 1),
+        }))
+    elif args.cmd == "compact":
+        from olaf_spark.incremental import compact_index
+
+        ix = compact_index(
+            spark, args.index, args.out,
+            n_merge_tasks=args.n_merge_tasks, n_groups=args.n_groups,
+        )
+        print(json.dumps({
+            "cmd": "compact", "out": args.out, "n_docs": ix.n_docs,
+            "n_terms": ix.stats["n_terms"], "n_postings": ix.stats["n_postings"],
+            "packed_bytes": ix.stats["packed_bytes"],
+            "compacted_from": ix.stats["compacted_from"],
+            "wall_s": round(time.time() - t0, 2),
+        }))
+    else:
+        from olaf_spark.incremental import IndexGroup
+
+        if args.doc_ids:
+            ids = [int(x) for x in args.doc_ids.split(",") if x.strip()]
+        elif args.urls_file:
+            from olaf_spark.xxh64 import xxh64
+
+            with open(args.urls_file) as f:
+                ids = [xxh64(line.strip().encode("utf-8")) for line in f if line.strip()]
+        else:
+            raise SystemExit("delete/undelete needs --doc-ids or --urls-file")
+        group = IndexGroup.load(args.index)
+        if args.cmd == "delete":
+            group.delete_docs(ids)
+        else:
+            group.parts[0].undelete_docs(ids)
+        print(json.dumps({
+            "cmd": args.cmd, "n_doc_ids": len(ids),
+            "tombstones_now": len(group.tombstones()),
+        }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

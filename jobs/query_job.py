@@ -15,6 +15,12 @@ Two execution paths, rank-identical:
     Spark job over the materialized index (olaf_spark.batch) — executors
     decode the packed posting rows of the broadcast query terms; no
     per-query job, no corpus re-tokenize.
+
+An index with live deltas (appended via jobs/maintain_job.py or the
+streaming sink) is served as an IndexGroup automatically: vectorized /
+blockmax / distributed all answer over main + deltas with group-global
+stats, rank- and score-identical to a compacted rebuild. wand/exhaustive
+are single-index referent scorers — compact first to use them.
 """
 
 from __future__ import annotations
@@ -38,21 +44,32 @@ def main() -> None:
     ap.add_argument("--out", default=None, help="parquet output path (default: stdout JSON)")
     args = ap.parse_args()
 
+    from olaf_spark.incremental import IndexGroup, _delta_dirs
     from olaf_spark.indexer import Index
     from olaf_spark.wand import query_index
 
     spark = SparkSession.builder.appName("olaf_spark_query").getOrCreate()
-    index = Index.load(args.index)
+    has_deltas = bool(_delta_dirs(args.index))
+    group = IndexGroup.load(args.index) if has_deltas else None
+    index = group.parts[0] if group is not None else Index.load(args.index)
+    if group is not None and args.method in ("wand", "exhaustive"):
+        raise SystemExit(
+            f"--method {args.method} is a single-index referent scorer; this "
+            "index has live deltas — use vectorized/blockmax/distributed, or "
+            "compact first (jobs/maintain_job.py compact)"
+        )
 
     with open(args.queries) as f:
         queries = [line.strip() for line in f if line.strip()]
 
     if args.method == "distributed":
-        from olaf_spark.batch import batch_query_index
+        from olaf_spark.batch import batch_query_index, batch_query_index_group
 
-        out_df = batch_query_index(
-            spark, index, list(enumerate(queries)), k=args.k
-        ).select("query_id", "rank", "doc_id", "score")
+        if group is not None:
+            out_df = batch_query_index_group(spark, group, list(enumerate(queries)), k=args.k)
+        else:
+            out_df = batch_query_index(spark, index, list(enumerate(queries)), k=args.k)
+        out_df = out_df.select("query_id", "rank", "doc_id", "score")
         if args.out:
             out_df.write.mode("overwrite").parquet(args.out)
         else:
@@ -63,9 +80,11 @@ def main() -> None:
 
     rows = []
     for qid, q in enumerate(queries):
-        for rank, (doc_id, score) in enumerate(
-            query_index(spark, index, q, k=args.k, method=args.method), start=1
-        ):
+        if group is not None:
+            hits = group.topk(q, args.k, method=args.method)
+        else:
+            hits = query_index(spark, index, q, k=args.k, method=args.method)
+        for rank, (doc_id, score) in enumerate(hits, start=1):
             rows.append((qid, rank, doc_id, float(score)))
 
     if args.out:

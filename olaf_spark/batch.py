@@ -62,14 +62,16 @@ def _make_score_partials(
     not depend on the query, only on (term, doc) stats).
 
     bsubs is a SparkContext BROADCAST of (subs, tombstone int64 array |
-    None) — captured by handle, not by value: closure capture re-pickles
-    the whole subscription map into every task launch (MBs per task at
-    B=100k queries x many terms), while a broadcast ships it once per
-    executor and tasks dereference it.
+    None, idf_map | None) — captured by handle, not by value: closure
+    capture re-pickles the whole subscription map into every task launch
+    (MBs per task at B=100k queries x many terms), while a broadcast ships
+    it once per executor and tasks dereference it. idf_map {term_id: w}
+    overrides the per-row df-derived idf — the GROUP path passes group-
+    global weights there (a part row's df column is part-local).
     """
 
     def score(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        subs, ts_arr = bsubs.value
+        subs, ts_arr, idf_map = bsubs.value
         for pdf in pdf_iter:
             if not len(pdf):
                 continue
@@ -91,7 +93,8 @@ def _make_score_partials(
                     ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
                 if ids.size == 0:
                     continue
-                w = idf_fn(n_docs, int(dfs_np[i]))
+                tid = int(terms_np[i])
+                w = idf_map[tid] if idf_map is not None else idf_fn(n_docs, int(dfs_np[i]))
                 tfs_f = tfs.astype(np.float64)
                 dls_f = dls.astype(np.float64)
                 # association order matches oracle: idf * (tf*(k1+1)/denom)
@@ -154,7 +157,7 @@ def batch_query_index(
     )
     ts = index.tombstones()
     ts_arr = np.fromiter(ts, dtype=np.int64) if ts else None
-    bsubs = spark.sparkContext.broadcast((subs, ts_arr))
+    bsubs = spark.sparkContext.broadcast((subs, ts_arr, None))
     partials = postings.mapInPandas(
         _make_score_partials(
             bsubs, index.n_docs, index.avgdl, cfg.k1, cfg.b, cfg.block_size,
@@ -162,7 +165,13 @@ def batch_query_index(
         PARTIAL_SCHEMA,
     )
 
-    # ---- deterministic fold: ascending term order, float64 (oracle order) --
+    return _fold_and_topk(partials, k, min_score)
+
+
+def _fold_and_topk(partials: DataFrame, k: int, min_score: float) -> DataFrame:
+    """Deterministic ascending-term float64 fold + per-query bounded top-k
+    (rank<=k plans as WindowGroupLimit: map-side partial top-k per
+    partition BEFORE the shuffle)."""
     scored = partials.groupBy("query_id", "doc_id").agg(
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("term", "contrib"))),
@@ -172,8 +181,6 @@ def batch_query_index(
     )
     if min_score > 0.0:
         scored = scored.where(F.col("score") >= F.lit(float(min_score)))
-
-    # ---- per-query bounded top-k: rank<=k plans as WindowGroupLimit --------
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
@@ -184,3 +191,79 @@ def batch_query_index(
             "query_id", "doc_id", "score", F.col("rank").cast("long").alias("rank")
         )
     )
+
+
+def batch_query_index_group(
+    spark: SparkSession,
+    group,
+    queries: Iterable[tuple[int, str]],
+    k: int | None = None,
+    min_score: float | None = None,
+) -> DataFrame:
+    """Distributed batch BM25 over an IndexGroup (main + live deltas) — the
+    bulk path stays available BETWEEN appends and compaction, exactly like
+    driver-side group serving (incremental.IndexGroup.topk).
+
+    Same one-job shape as batch_query_index, with two group twists:
+      * the scan is the UNION of every part's pruned posting scan (each
+        part prunes by hive tb + term_id row-group stats independently);
+      * idf must be GROUP-global while a part row's df column is
+        part-local, so per-term group weights are resolved DRIVER-side
+        (one tiny pyarrow read of ~|terms| row headers per part — the same
+        reads group serving does) and ride the broadcast as {term_id: w}.
+    A doc lives in exactly one part, so the fold still sums each (query,
+    doc) once per term — rank/score-identical to group serving and to a
+    clean rebuild (tests/test_batch.py).
+    """
+    import pyarrow.compute as pc
+
+    cfg = group.cfg
+    if k is None:
+        k = cfg.max_results
+    if min_score is None:
+        min_score = cfg.min_score
+
+    subs: dict[int, list[tuple[int, str]]] = {}
+    for qid, text in queries:
+        for term in sorted(set(tokenize_py(text, cfg))):
+            subs.setdefault(term_id_py(term), []).append((int(qid), term))
+    if not subs:
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, score double, rank long"
+        )
+    qids_terms = sorted(subs)
+    tbs = sorted({t % cfg.n_segments for t in qids_terms})
+
+    # group-global df: sum the per-(term, part) df once per part — read from
+    # the posting row HEADERS (term_id, df, chunk), no posting bytes touched
+    flt = pc.field("tb").isin(tbs) & pc.field("term_id").isin(qids_terms)
+    df_total: dict[int, int] = {}
+    for p in group.parts:
+        tbl = p.dataset().to_table(filter=flt, columns=["term_id", "df"])
+        # every chunk row of a term within one part repeats that part's full
+        # df (and chunk ordinals are task-local, so chunk==0 may repeat) —
+        # dict assignment dedupes to one df per (term, part)
+        part_df: dict[int, int] = {}
+        for tid, df in zip(tbl["term_id"].to_pylist(), tbl["df"].to_pylist()):
+            part_df[tid] = int(df)
+        for tid, df in part_df.items():
+            df_total[tid] = df_total.get(tid, 0) + df
+    idf_map = {tid: idf_fn(group.n_docs, df) for tid, df in df_total.items()}
+
+    ts = group.tombstones()
+    ts_arr = np.fromiter(ts, dtype=np.int64) if ts else None
+    bsubs = spark.sparkContext.broadcast((subs, ts_arr, idf_map))
+
+    scan = None
+    for p in group.parts:
+        part_scan = p.postings(spark).where(
+            F.col("tb").isin(tbs) & F.col("term_id").isin(qids_terms)
+        )
+        scan = part_scan if scan is None else scan.unionByName(part_scan)
+    partials = scan.mapInPandas(
+        _make_score_partials(
+            bsubs, group.n_docs, group.avgdl, cfg.k1, cfg.b, cfg.block_size,
+        ),
+        PARTIAL_SCHEMA,
+    )
+    return _fold_and_topk(partials, k, min_score)

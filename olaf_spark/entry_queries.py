@@ -550,13 +550,9 @@ FROM ({SQL_BM25_TOPK}) res LEFT JOIN documents d ON res.doc_id = d.doc_id
 _GROUP_CACHE: dict[str, object] = {}
 
 
-def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental-append path: index half the corpus, append the other half
-    as a delta, query the group merged-on-read. The oracle is full-corpus
-    BM25 SQL — append must be indistinguishable from a clean rebuild
-    (olaf_spark/incremental.py; Olaf live-store append, olaf_db.c:309-311)."""
-    import pandas as pd
-
+def _get_group(spark: SparkSession, sf_dir: str):
+    """main-index + one-delta group over the sf corpus (half built, half
+    appended) — shared by the incremental serving and group-batch entries."""
     from olaf_spark.incremental import IndexGroup, append_index
     from olaf_spark.indexer import build_index
 
@@ -568,7 +564,17 @@ def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_index(spark, docs.where("doc_id % 2 = 0"), d, CFG, n_buckets=4)
         append_index(spark, docs.where("doc_id % 2 = 1"), d, n_buckets=4)
         _GROUP_CACHE[sf_dir] = IndexGroup.load(d)
-    group = _GROUP_CACHE[sf_dir]
+    return _GROUP_CACHE[sf_dir]
+
+
+def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-append path: index half the corpus, append the other half
+    as a delta, query the group merged-on-read. The oracle is full-corpus
+    BM25 SQL — append must be indistinguishable from a clean rebuild
+    (olaf_spark/incremental.py; Olaf live-store append, olaf_db.c:309-311)."""
+    import pandas as pd
+
+    group = _get_group(spark, sf_dir)
     hits = group.topk(FLAGSHIP_QUERY, K)
     pdf = pd.DataFrame(
         {
@@ -691,6 +697,24 @@ SQL_BM25_BATCH = "\nUNION ALL\n".join(
     f"SELECT * FROM ({_sql_bm25(q.split(), K, query_id=i)})"
     for i, q in BATCH_QUERY_SET
 )
+
+
+def q_bm25_batch_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed batch BM25 over a LIVE index group (main + delta):
+    the bulk path between appends and compaction (batch_query_index_group).
+    Oracle: full-corpus per-query BM25 SQL — group-global stats must make
+    the delta phase indistinguishable from a clean rebuild, batch path
+    included."""
+    from olaf_spark.batch import batch_query_index_group
+
+    group = _get_group(spark, sf_dir)
+    out = batch_query_index_group(spark, group, BATCH_QUERY_SET, k=K)
+    return out.select(
+        "query_id",
+        "doc_id",
+        F.round("score", 4).cast("double").alias("score"),
+        "rank",
+    )
 
 
 def q_bm25_topk_blockmax(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1195,6 +1219,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_wand": q_bm25_topk_wand,
     "bm25_topk_blockmax": q_bm25_topk_blockmax,
     "bm25_batch_distributed": q_bm25_batch_distributed,
+    "bm25_batch_group": q_bm25_batch_group,
     "bm25_incremental": q_bm25_incremental,
     "fragment_windows": q_fragment_windows,
     "result_meta_join": q_result_meta_join,
@@ -1237,6 +1262,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_topk_wand": SQL_BM25_TOPK,
     "bm25_topk_blockmax": SQL_BM25_TOPK,
     "bm25_batch_distributed": SQL_BM25_BATCH,
+    "bm25_batch_group": SQL_BM25_BATCH,
     "bm25_incremental": SQL_BM25_TOPK,
     "fragment_windows": SQL_FRAGMENT_WINDOWS,
     "result_meta_join": SQL_RESULT_META_JOIN,

@@ -94,6 +94,52 @@ def test_batch_plan_shape(spark, index):
     assert "PushedFilters: [In(term_id" in p, p
 
 
+def test_group_batch_matches_clean_rebuild_batch(spark, index, tmp_path):
+    """Distributed batch over a LIVE group (half built, half appended) must
+    be rank/score-identical to (a) the single-index batch over a clean
+    rebuild of the union corpus and (b) the group's driver-side serving —
+    the delta phase is invisible to the bulk path too."""
+    from olaf_spark.batch import batch_query_index_group
+    from olaf_spark.incremental import IndexGroup, append_index
+
+    docs = gen_pages(spark, N_DOCS, seed=42).select("doc_id", "text")
+    base = str(tmp_path / "gix")
+    build_index(spark, docs.where("doc_id % 2 = 0"), base, CFG, n_buckets=4)
+    append_index(spark, docs.where("doc_id % 2 = 1"), base, n_buckets=4)
+    group = IndexGroup.load(base)
+
+    rows = batch_query_index_group(spark, group, QUERIES, k=K).collect()
+    got: dict[int, list[tuple[int, float]]] = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+
+    clean = collect_batch(spark, index, QUERIES)  # index = full-corpus build
+    assert set(got) == set(clean)
+    for qid, text in QUERIES:
+        want = clean.get(qid, [])
+        have = got.get(qid, [])
+        assert [d for d, _ in have] == [d for d, _ in want], (qid, have, want)
+        for (hd, hs), (wd, ws) in zip(have, want):
+            assert math.isclose(hs, ws, rel_tol=1e-12, abs_tol=1e-15), (qid, hd, hs, ws)
+        serve = group.topk(text, K)
+        assert [d for d, _ in have] == [d for d, _ in serve]
+
+
+def test_group_batch_respects_tombstones(spark, index, tmp_path):
+    from olaf_spark.batch import batch_query_index_group
+    from olaf_spark.incremental import IndexGroup, append_index
+
+    docs = gen_pages(spark, N_DOCS, seed=42).select("doc_id", "text")
+    base = str(tmp_path / "gdel")
+    build_index(spark, docs.where("doc_id % 2 = 0"), base, CFG, n_buckets=4)
+    append_index(spark, docs.where("doc_id % 2 = 1"), base, n_buckets=4)
+    group = IndexGroup.load(base)
+    victim = group.topk("needle97", 1)[0][0]
+    group.delete_docs([victim])
+    rows = batch_query_index_group(spark, group, [(0, "needle97 w2")], k=K).collect()
+    assert all(r["doc_id"] != victim for r in rows)
+
+
 def test_batch_respects_tombstones_and_min_score(spark, index):
     victim = query_index(spark, index, "needle97", k=1)[0][0]
     index.delete_docs([victim])
