@@ -42,6 +42,14 @@ def main() -> None:
         choices=["vectorized", "blockmax", "wand", "exhaustive", "distributed"],
     )
     ap.add_argument("--out", default=None, help="parquet output path (default: stdout JSON)")
+    ap.add_argument(
+        "--fuzzy",
+        action="store_true",
+        help="widen every query term to its edit-distance-1 neighborhood "
+        "(Olaf's ±searchRange, olaf_db.c:337-398): variants present in the "
+        "index score as ordinary terms with their own idf, OR semantics — "
+        "works identically on every method including distributed",
+    )
     args = ap.parse_args()
 
     from olaf_spark.incremental import IndexGroup, _delta_dirs
@@ -61,6 +69,16 @@ def main() -> None:
 
     with open(args.queries) as f:
         queries = [line.strip() for line in f if line.strip()]
+    if args.fuzzy:
+        from olaf_spark.fuzzy import edit1_variants
+        from olaf_spark.tokenize import tokenize_py
+
+        queries = [
+            " ".join(
+                sorted(set().union(*[edit1_variants(t) for t in tokenize_py(q, index.cfg)]) or set())
+            )
+            for q in queries
+        ]
 
     if args.method == "distributed":
         from olaf_spark.batch import batch_query_index, batch_query_index_group

@@ -71,3 +71,59 @@ def test_build_and_query_jobs_end_to_end(spark, tmp_path):
     for r in rows:
         serial.setdefault(r["query_id"], []).append(r["doc_id"])
     assert dist == serial
+
+
+@pytest.mark.slow
+def test_maintenance_cycle_jobs_end_to_end(spark, tmp_path):
+    """The full operator story through spark-submit entry points: build half
+    the corpus, APPEND the other half (maintain_job), query the live group
+    (query_job auto-detects deltas, driver-side AND distributed), COMPACT
+    (maintain_job), and check the compacted answers equal the group's."""
+    pages = gen_pages(spark, 200, seed=13)
+    half_a, half_b = str(tmp_path / "pa"), str(tmp_path / "pb")
+    pages.where("doc_id % 2 = 0").write.parquet(half_a)
+    pages.where("doc_id % 2 = 1").write.parquet(half_b)
+    qfile = tmp_path / "q.txt"
+    qfile.write_text("w2 w17 w300\nneedle97\n")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    ix_dir = str(tmp_path / "ix")
+
+    def run(args_):
+        r = subprocess.run(
+            [sys.executable] + args_, capture_output=True, text=True, env=env, timeout=600
+        )
+        assert r.returncode == 0, (args_, r.stderr[-2000:])
+        return [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")]
+
+    run([f"{REPO}/jobs/build_index_job.py", "--pages", half_a, "--index", ix_dir,
+         "--from-html", "--n-buckets", "4"])
+    m = run([f"{REPO}/jobs/maintain_job.py", "append", "--index", ix_dir,
+             "--pages", half_b, "--from-html", "--n-buckets", "4"])[0]
+    assert m["n_docs"] == 100 and m["cmd"] == "append"
+
+    grp = run([f"{REPO}/jobs/query_job.py", "--index", ix_dir,
+               "--queries", str(qfile), "--k", "5", "--method", "blockmax"])
+    dist = run([f"{REPO}/jobs/query_job.py", "--index", ix_dir,
+                "--queries", str(qfile), "--k", "5", "--method", "distributed"])
+    by_q = lambda rows: {  # noqa: E731
+        q: [r["doc_id"] for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"]))
+            if r["query_id"] == q]
+        for q in {r["query_id"] for r in rows}
+    }
+    assert by_q(grp) == by_q(dist)
+
+    out_dir = str(tmp_path / "ix2")
+    c = run([f"{REPO}/jobs/maintain_job.py", "compact", "--index", ix_dir,
+             "--out", out_dir, "--n-groups", "2"])[0]
+    assert c["n_docs"] == 200 and c["compacted_from"] == 2
+    post = run([f"{REPO}/jobs/query_job.py", "--index", out_dir,
+                "--queries", str(qfile), "--k", "5", "--method", "wand"])
+    assert by_q(post) == by_q(grp)  # compaction changes no answer
+
+    # fuzzy flag: a typo'd needle query still finds its doc via the ED-1 ball
+    qfile2 = tmp_path / "q2.txt"
+    qfile2.write_text("nedle97\n")
+    fz = run([f"{REPO}/jobs/query_job.py", "--index", out_dir,
+              "--queries", str(qfile2), "--k", "5", "--fuzzy"])
+    needle_doc = by_q(grp)[1][0]
+    assert fz and fz[0]["doc_id"] == needle_doc
