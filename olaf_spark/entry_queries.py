@@ -982,6 +982,27 @@ def _cleanup_ann_cache() -> None:
     _ANN_CACHE.clear()
 
 
+def _get_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    """One materialized ANN index (vec_id != 0) per sf_dir, built in a
+    temp dir that dies with the process."""
+    import atexit
+
+    from olaf_spark.ops.similarity import build_ann_index
+
+    if sf_dir not in _ANN_CACHE:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="entry_ann_")
+        if not _ANN_CACHE:
+            atexit.register(_cleanup_ann_cache)  # temp indexes die with us
+        emb = _read(spark, sf_dir, "embeddings")
+        build_ann_index(
+            spark, emb.where(F.col("vec_id") != 0), d, n_planes=ANN_PLANES, seed=42
+        )
+        _ANN_CACHE[sf_dir] = d
+    return _ANN_CACHE[sf_dir]
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN over the MATERIALIZED signature-partitioned layout
     (ops/similarity.build_ann_index): the multi-probe sig IN-list prunes
@@ -991,23 +1012,76 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     enters the SQL as literals — see _sql_ann_lsh_topk. Recall vs brute
     force + partition pruning are additionally pytest-verified
     (tests/test_ops.py)."""
-    import atexit
-
-    from olaf_spark.ops.similarity import ann_topk_indexed, build_ann_index
+    from olaf_spark.ops.similarity import ann_topk_indexed
 
     emb = _read(spark, sf_dir, "embeddings")
     qvec = list(emb.where(F.col("vec_id") == 0).collect()[0]["embedding"])
-    if sf_dir not in _ANN_CACHE:
-        import tempfile
+    return ann_topk_indexed(
+        spark, _get_ann_index(spark, sf_dir), qvec, k=10, n_probes=ANN_PROBES
+    )
 
-        d = tempfile.mkdtemp(prefix="entry_ann_")
-        if not _ANN_CACHE:
-            atexit.register(_cleanup_ann_cache)  # temp indexes die with us
-        build_ann_index(
-            spark, emb.where(F.col("vec_id") != 0), d, n_planes=ANN_PLANES, seed=42
-        )
-        _ANN_CACHE[sf_dir] = d
-    return ann_topk_indexed(spark, _ANN_CACHE[sf_dir], qvec, k=10, n_probes=ANN_PROBES)
+
+def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH multi-probe ANN: three query vectors answered by ONE Spark job
+    over the signature-partitioned layout (union of probe sigs prunes the
+    scan; probes + query vectors ride broadcast literals; per-query
+    WindowGroupLimit top-k). The vector twin of the distributed BM25 batch."""
+    from olaf_spark.ops.similarity import ann_batch_topk_indexed
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.where(F.col("vec_id") < 3).collect()
+    ]
+    return ann_batch_topk_indexed(
+        spark, _get_ann_index(spark, sf_dir), queries, k=5, n_probes=ANN_PROBES
+    )
+
+
+def _sql_ann_batch_topk() -> str | None:
+    """DuckDB twin of q_ann_batch_topk: per-query probe-signature literals
+    (driver-side numpy over the sf0.01 query vectors — the same call the
+    Spark path makes), corpus signatures recomputed via the bit-identical
+    left-assoc band arithmetic."""
+    import os
+
+    emb_path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(emb_path):
+        return None
+    import pyarrow.parquet as pq
+
+    from olaf_spark.ops.similarity import (
+        hyperplanes,
+        lsh_band_sql,
+        probe_signatures,
+    )
+
+    pdf = pq.read_table(emb_path, columns=["vec_id", "embedding"]).to_pandas()
+    qrows = pdf[pdf.vec_id < 3].sort_values("vec_id")
+    planes = hyperplanes(EMB_DIM, ANN_PLANES, 42)
+    values = []
+    for _, row in qrows.iterrows():
+        qvec = [float(x) for x in row["embedding"]]
+        for s in sorted({int(s, 2) for s in probe_signatures(qvec, planes, ANN_PROBES)}):
+            values.append(f"({int(row['vec_id'])}, {s})")
+    band = lsh_band_sql("v", planes, bands=1)[0]
+    return f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sigs AS (SELECT vec_id, v, {band} AS sig FROM vecs),
+probes(query_id, sig) AS (VALUES {", ".join(values)}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 3),
+cand AS (
+  SELECT p.query_id, s.vec_id,
+         round(list_cosine_similarity(s.v, q.qv), 6)::DOUBLE AS cosine_sim
+  FROM sigs s JOIN probes p ON s.sig = p.sig JOIN q ON q.query_id = p.query_id
+  WHERE s.vec_id <> 0
+)
+SELECT query_id, vec_id, cosine_sim, rank FROM (
+  SELECT query_id, vec_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC)::BIGINT AS rank
+  FROM cand
+) WHERE rank <= 5
+"""
 
 
 def _sql_ann_lsh_topk() -> str | None:
@@ -1235,6 +1309,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "batch_cosine_topk": q_batch_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_batch_topk": q_ann_batch_topk,
     "ann_lsh_bucket_topk": q_ann_lsh_bucket_topk,
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
     "multimodal_image_meta": q_multimodal_image_meta,
@@ -1290,6 +1365,9 @@ ORACLE_SQL: dict[str, str] = {
 _ann_oracle = _sql_ann_lsh_topk()
 if _ann_oracle is not None:
     ORACLE_SQL["ann_lsh_topk"] = _ann_oracle
+_ann_batch_oracle = _sql_ann_batch_topk()
+if _ann_batch_oracle is not None:
+    ORACLE_SQL["ann_batch_topk"] = _ann_batch_oracle
 
 from olaf_spark.ops.text import (  # noqa: E402
     doc_fingerprint_sql,

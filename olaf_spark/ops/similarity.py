@@ -367,6 +367,79 @@ def ann_topk_indexed(
     )
 
 
+def ann_batch_topk_indexed(
+    spark,
+    index_dir: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probes: int = 3,
+) -> DataFrame:
+    """Approximate top-k for a BATCH of queries against a build_ann_index
+    directory, as ONE Spark job (the vector twin of olaf_spark.batch):
+
+      * the union of every query's probe signatures prunes hive partitions
+        at the scan — one pass over ~B*n_probes/2^bits of the corpus, not
+        one job per query;
+      * (query_id, sig) probe pairs and query vectors enter the plan as
+        broadcast literals (no Python-RDD side, no shuffle for the join);
+      * exact cosine on candidates; per-query top-k plans as a
+        WindowGroupLimit (map-side partial top-k before the exchange).
+
+    A corpus row carries exactly ONE signature and probe pairs are
+    distinct, so no candidate is scored twice for a query.
+    """
+    import json
+    import os
+
+    from pyspark.sql import Window
+
+    with open(os.path.join(index_dir, "ann_meta.json")) as f:
+        meta = json.load(f)
+    planes = hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
+    pairs = [
+        (int(qid), s)
+        for qid, v in queries
+        for s in probe_signatures(v, planes, n_probes)
+    ]
+    all_sigs = sorted({s for _, s in pairs})
+    probe_df = spark.range(1).select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(qid).alias("query_id"), F.lit(s).alias("sig"))
+                for qid, s in pairs
+            ])
+        ).alias("p")
+    ).select("p.query_id", "p.sig")
+    qdf = spark.range(1).select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(int(qid)).alias("query_id"),
+                    F.array(*[F.lit(float(x)) for x in v]).alias("qv"),
+                )
+                for qid, v in queries
+            ])
+        ).alias("q")
+    ).select("q.query_id", "q.qv")
+
+    v = spark.read.parquet(os.path.join(index_dir, "vectors")).where(
+        F.col("sig").isin(all_sigs)
+    )
+    cand = v.join(F.broadcast(probe_df), "sig").join(F.broadcast(qdf), "query_id")
+    sim = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.select(
+            "query_id", "vec_id", F.round(sim, 6).cast("double").alias("cosine_sim")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def batch_cosine_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -180,6 +180,38 @@ def test_ann_index_partition_pruning_and_recall(spark, emb, tmp_path):
     assert len(exact & got) >= 3  # recall floor, same as the ad-hoc test
 
 
+def test_ann_batch_matches_per_query_indexed(spark, emb, tmp_path):
+    """Batch ANN (one job, broadcast probes) must return exactly what the
+    per-query indexed path returns for each query, and prune partitions at
+    the scan like it."""
+    from olaf_spark.ops.similarity import (
+        ann_batch_topk_indexed,
+        ann_topk_indexed,
+        build_ann_index,
+    )
+
+    df, base = emb
+    d = str(tmp_path / "annb")
+    build_ann_index(spark, df, d, n_planes=4, seed=42)
+    queries = [(i, [float(x) for x in base[i]]) for i in range(3)]
+    out = ann_batch_topk_indexed(spark, d, queries, k=5, n_probes=3)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p = out._jdf.queryExecution().explainString(mode)
+    import re
+
+    assert re.search(r"PartitionFilters: \[sig#\d+ IN", p), p
+    rows = out.collect()
+    got = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine_sim"]))
+    for qid, qvec in queries:
+        want = [
+            (r["vec_id"], r["cosine_sim"])
+            for r in ann_topk_indexed(spark, d, qvec, k=5, n_probes=3).collect()
+        ]
+        assert got.get(qid, []) == want, (qid, got.get(qid), want)
+
+
 def test_batch_cosine_topk_shape(emb):
     df, _ = emb
     queries = df.where(F.col("vec_id") < 2).select(
