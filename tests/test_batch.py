@@ -125,6 +125,29 @@ def test_group_batch_matches_clean_rebuild_batch(spark, index, tmp_path):
         assert [d for d, _ in have] == [d for d, _ in serve]
 
 
+def test_group_batch_plan_shape(spark, index, tmp_path):
+    """Group batch plan: BOTH part scans partition-pruned on tb with
+    term_id row-group pushdown, exactly one MapInPandas decode above the
+    union, WindowGroupLimit top-k, no row-at-a-time Python."""
+    import re
+
+    from olaf_spark.batch import batch_query_index_group
+    from olaf_spark.incremental import IndexGroup, append_index
+
+    docs = gen_pages(spark, N_DOCS, seed=42).select("doc_id", "text")
+    base = str(tmp_path / "gplan")
+    build_index(spark, docs.where("doc_id % 2 = 0"), base, CFG, n_buckets=4)
+    append_index(spark, docs.where("doc_id % 2 = 1"), base, n_buckets=4)
+    df = batch_query_index_group(spark, IndexGroup.load(base), QUERIES, k=K)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p = df._jdf.queryExecution().explainString(mode)
+    assert "WindowGroupLimit" in p, p
+    assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 1, p
+    assert "BatchEvalPython" not in p
+    assert len(re.findall(r"PartitionFilters: \[tb#\d+ IN", p)) == 2, p
+    assert p.count("PushedFilters: [In(term_id") == 2, p
+
+
 def test_group_batch_respects_tombstones(spark, index, tmp_path):
     from olaf_spark.batch import batch_query_index_group
     from olaf_spark.incremental import IndexGroup, append_index
