@@ -58,6 +58,14 @@ def main() -> None:
     p_app.add_argument("--delta-name", default=None)
     p_app.add_argument("--n-buckets", type=int, default=16)
 
+    p_pos = sub.add_parser(
+        "positions", help="build the positional side index (phrase queries)"
+    )
+    p_pos.add_argument("--index", required=True)
+    p_pos.add_argument("--pages", required=True)
+    p_pos.add_argument("--from-html", action="store_true")
+    p_pos.add_argument("--n-buckets", type=int, default=16)
+
     p_cmp = sub.add_parser("compact", help="fold main + deltas into a fresh index")
     p_cmp.add_argument("--index", required=True)
     p_cmp.add_argument("--out", required=True)
@@ -87,6 +95,18 @@ def main() -> None:
             "packed_bytes": delta.stats["packed_bytes"],
             "wall_s": round(time.time() - t0, 2),
             "docs_per_s": round(delta.n_docs / max(time.time() - t0, 1e-9), 1),
+        }))
+    elif args.cmd == "positions":
+        from olaf_spark.config import EngineConfig
+        from olaf_spark.phrase import build_positions
+
+        cfg = EngineConfig.load(args.index)
+        build_positions(
+            spark, _load_pages(spark, args), args.index, cfg, n_buckets=args.n_buckets
+        )
+        print(json.dumps({
+            "cmd": "positions", "index": args.index,
+            "wall_s": round(time.time() - t0, 2),
         }))
     elif args.cmd == "compact":
         from olaf_spark.incremental import compact_index

@@ -43,6 +43,13 @@ def main() -> None:
     )
     ap.add_argument("--out", default=None, help="parquet output path (default: stdout JSON)")
     ap.add_argument(
+        "--phrase",
+        action="store_true",
+        help="treat each query line as an EXACT phrase (adjacency-verified "
+        "via the positional side index; build it with maintain_job.py "
+        "positions). score = phrase occurrence count.",
+    )
+    ap.add_argument(
         "--fuzzy",
         action="store_true",
         help="widen every query term to its edit-distance-1 neighborhood "
@@ -69,6 +76,26 @@ def main() -> None:
 
     with open(args.queries) as f:
         queries = [line.strip() for line in f if line.strip()]
+
+    if args.phrase:
+        from olaf_spark.phrase import phrase_topk
+
+        rows = []
+        for qid, q in enumerate(queries):
+            for rank, (doc_id, tf) in enumerate(
+                phrase_topk(args.index, q, k=args.k, cfg=index.cfg), start=1
+            ):
+                rows.append((qid, rank, doc_id, float(tf)))
+        if args.out:
+            spark.createDataFrame(
+                rows, "query_id int, rank int, doc_id long, score double"
+            ).write.mode("overwrite").parquet(args.out)
+        else:
+            for r in rows:
+                print(json.dumps({"query_id": r[0], "rank": r[1], "doc_id": r[2], "score": r[3]}))
+        spark.stop()
+        return
+
     if args.fuzzy:
         from olaf_spark.fuzzy import edit1_variants
         from olaf_spark.tokenize import tokenize_py

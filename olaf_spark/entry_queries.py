@@ -522,6 +522,87 @@ FROM tokpos GROUP BY doc_id, pos // {FRAGMENT_LEN}
 
 
 # --------------------------------------------------------------------------
+# exact phrase match (olaf_spark/phrase.py): positional side index +
+# adjacency verification — the text twin of Olaf's time-coherent matching
+# (positions = the t1 timestamps packed into every posting,
+# olaf_fp_db_writer.c; alignment check = olaf_fp_matcher.c:148-186)
+# --------------------------------------------------------------------------
+
+# trigram present at sf0.01 with a multi-occurrence doc — exercises the
+# ordered adjacency verify AND phrase_tf ranking (not just membership)
+PHRASE_QUERY = "slow hash batch"
+_PHRASE_CACHE: dict[str, str] = {}
+
+
+def _cleanup_phrase_cache() -> None:
+    import shutil
+
+    for d in _PHRASE_CACHE.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _PHRASE_CACHE.clear()
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+
+    import pandas as pd
+
+    from olaf_spark.phrase import build_positions, phrase_topk
+
+    if sf_dir not in _PHRASE_CACHE:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="entry_phrase_")
+        if not _PHRASE_CACHE:
+            atexit.register(_cleanup_phrase_cache)
+        build_positions(
+            spark, _docs(spark, sf_dir).select("doc_id", "text"), d, CFG, n_buckets=4
+        )
+        _PHRASE_CACHE[sf_dir] = d
+    hits = phrase_topk(_PHRASE_CACHE[sf_dir], PHRASE_QUERY, k=K)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d_ for d_, _ in hits],
+            "phrase_tf": [int(t) for _, t in hits],
+            "rank": list(range(1, len(hits) + 1)),
+        }
+    )
+    return spark.createDataFrame(pdf, "doc_id long, phrase_tf long, rank long")
+
+
+def _sql_phrase(terms: list[str], k: int) -> str:
+    joins = "\n  ".join(
+        f"JOIN tokpos t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.pos = t0.pos + {i} "
+        f"AND t{i}.term = '{t}'"
+        for i, t in enumerate(terms[1:], start=1)
+    )
+    return f"""
+WITH tokpos AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) - 1 AS pos
+  FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                       t -> t <> '') AS arr
+    FROM documents
+  )
+),
+hits AS (
+  SELECT t0.doc_id, count(*)::BIGINT AS phrase_tf
+  FROM tokpos t0
+  {joins}
+  WHERE t0.term = '{terms[0]}'
+  GROUP BY t0.doc_id
+)
+SELECT doc_id, phrase_tf,
+       row_number() OVER (ORDER BY phrase_tf DESC, doc_id ASC)::BIGINT AS rank
+FROM hits ORDER BY phrase_tf DESC, doc_id ASC LIMIT {k}
+"""
+
+
+SQL_PHRASE_MATCH = _sql_phrase(PHRASE_QUERY.split(), K)
+
+
+# --------------------------------------------------------------------------
 # metadata resolve (SURVEY §2.3): per-result point lookup
 # (olaf_db_find_meta_data src/olaf_db.c:212-235, called per match
 # olaf_fp_matcher.c:327-328) -> broadcast hash join of top-k vs documents
@@ -1296,6 +1377,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_batch_group": q_bm25_batch_group,
     "bm25_incremental": q_bm25_incremental,
     "fragment_windows": q_fragment_windows,
+    "phrase_match": q_phrase_match,
     "result_meta_join": q_result_meta_join,
     "extract_roundtrip": q_extract_roundtrip,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1340,6 +1422,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_batch_group": SQL_BM25_BATCH,
     "bm25_incremental": SQL_BM25_TOPK,
     "fragment_windows": SQL_FRAGMENT_WINDOWS,
+    "phrase_match": SQL_PHRASE_MATCH,
     "result_meta_join": SQL_RESULT_META_JOIN,
     "extract_roundtrip": SQL_EXTRACT_ROUNDTRIP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,

@@ -183,10 +183,19 @@ class IndexGroup:
         qids = sorted(id_to_term)
         tbs = sorted({i % cfg.n_segments for i in qids})
         flt = pc.field("tb").isin(tbs) & pc.field("term_id").isin(qids)
+        # parts are independent parquet reads and pyarrow releases the GIL —
+        # fetch them concurrently so group latency tracks the SLOWEST part,
+        # not the sum (a steady append stream accumulates many deltas)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(self.parts))) as ex:
+            tables = list(
+                ex.map(lambda p: p.dataset().to_table(filter=flt), self.parts)
+            )
         rows: list[tuple[str, int, dict]] = []
         part_df: dict[tuple[str, int], int] = {}
-        for pi, p in enumerate(self.parts):
-            for r in p.dataset().to_table(filter=flt).to_pylist():
+        for pi, tbl in enumerate(tables):
+            for r in tbl.to_pylist():
                 term = id_to_term[r["term_id"]]
                 rows.append((term, pi, r))
                 # every row of a term within one part carries that part's

@@ -127,3 +127,14 @@ def test_maintenance_cycle_jobs_end_to_end(spark, tmp_path):
               "--queries", str(qfile2), "--k", "5", "--fuzzy"])
     needle_doc = by_q(grp)[1][0]
     assert fz and fz[0]["doc_id"] == needle_doc
+
+    # positional side index + phrase query through the job surface
+    pfull = str(tmp_path / "pfull")
+    pages.write.parquet(pfull)
+    run([f"{REPO}/jobs/maintain_job.py", "positions", "--index", out_dir,
+         "--pages", pfull, "--from-html", "--n-buckets", "4"])
+    qfile3 = tmp_path / "q3.txt"
+    qfile3.write_text("needle97\n")
+    ph = run([f"{REPO}/jobs/query_job.py", "--index", out_dir,
+              "--queries", str(qfile3), "--k", "3", "--phrase"])
+    assert ph and ph[0]["doc_id"] == needle_doc and ph[0]["score"] == 1.0

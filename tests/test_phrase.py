@@ -1,0 +1,94 @@
+"""Positional side index + exact phrase queries (olaf_spark/phrase.py).
+
+The text twin of Olaf's time-coherent matching: a phrase hit is a
+time-aligned fingerprint sequence. Referent: a pure-Python position scan
+over the same corpus — the phrase path must agree exactly on (doc,
+phrase_tf) for planted and natural phrases, including repeated-term
+phrases and across Arrow batch slicing.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from olaf_spark.config import EngineConfig
+from olaf_spark.phrase import build_positions, phrase_topk
+from olaf_spark.synth import gen_pages
+
+CFG = EngineConfig()
+
+
+def py_phrase_tf(rows: list[tuple[int, str]], phrase: list[str]) -> dict[int, int]:
+    """Reference: count exact-sequence occurrences per doc, pure Python."""
+    out: dict[int, int] = {}
+    for doc_id, text in rows:
+        toks = [t for t in re.split(CFG.token_split_re, text.lower()) if t]
+        n = sum(
+            1
+            for i in range(len(toks) - len(phrase) + 1)
+            if toks[i:i + len(phrase)] == phrase
+        )
+        if n:
+            out[doc_id] = n
+    return out
+
+
+@pytest.fixture(scope="module")
+def positional(spark, tmp_path_factory):
+    pages = gen_pages(spark, 300, seed=42).select("doc_id", "text").cache()
+    rows = [(r["doc_id"], r["text"]) for r in pages.collect()]
+    d = str(tmp_path_factory.mktemp("phr") / "pix")
+    build_positions(spark, pages, d, CFG, n_buckets=4)
+    return rows, d
+
+
+def assert_matches_referent(rows, d, phrase_text, k=10):
+    want_tf = py_phrase_tf(rows, phrase_text.split())
+    want = sorted(want_tf.items(), key=lambda x: (-x[1], x[0]))[:k]
+    got = phrase_topk(d, phrase_text, k=k)
+    assert got == want, (phrase_text, got[:5], want[:5])
+
+
+def test_phrase_matches_python_referent(positional):
+    rows, d = positional
+    for phrase in ("w2 w3", "w3 w2 w2", "w17 w2", "w2 w2"):
+        assert_matches_referent(rows, d, phrase)
+
+
+def test_single_term_phrase_is_positionwise_tf(positional):
+    rows, d = positional
+    assert_matches_referent(rows, d, "w5", k=20)
+
+
+def test_absent_and_partial_phrases_empty(positional):
+    _, d = positional
+    assert phrase_topk(d, "zzznothere w2") == []
+    assert phrase_topk(d, "") == []
+
+
+def test_needle_phrase_unique_doc(positional):
+    rows, d = positional
+    # needle is appended at the doc's end: "<last zipf token> needle97"
+    doc97 = dict(rows)[97]
+    last_two = doc97.split()[-2:]
+    got = phrase_topk(d, " ".join(last_two), k=5)
+    assert any(doc == 97 for doc, _ in got), (last_two, got)
+    assert_matches_referent(rows, d, " ".join(last_two), k=5)
+
+
+def test_positions_survive_small_arrow_batches(spark, positional, tmp_path):
+    """Pack correctness independent of Arrow batch slicing (the
+    _iter_term_chunks carry path)."""
+    rows, _ = positional
+    pages = spark.createDataFrame(rows, "doc_id long, text string")
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "64")
+    try:
+        d = str(tmp_path / "pix_small")
+        build_positions(spark, pages, d, CFG, n_buckets=4)
+    finally:
+        spark.conf.set(key, old)
+    assert_matches_referent(rows, d, "w2 w3")
