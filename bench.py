@@ -132,6 +132,20 @@ def main() -> None:
             glat.append((time.perf_counter() - t0) * 1000)
         glat.sort()
 
+        # positional side index + exact phrase serving (olaf_spark.phrase)
+        from olaf_spark.phrase import build_positions, phrase_topk
+
+        pdir = f"{tmp}/pix"
+        t0 = time.perf_counter()
+        build_positions(spark, docs, pdir, EngineConfig(), n_buckets=16)
+        pos_build_s = round(time.perf_counter() - t0, 3)
+        plat = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            phrase_topk(pdir, "slow hash batch", k=10)
+            plat.append((time.perf_counter() - t0) * 1000)
+        plat.sort()
+
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     spark.stop()
 
@@ -154,6 +168,8 @@ def main() -> None:
         "bm25_batch1024_queries_per_s": round(1024 / batch1024_s, 1) if batch1024_s > 0 else None,
         "group_serve_p50_ms": round(glat[len(glat) // 2], 2),
         "group_serve_p95_ms": round(glat[int(len(glat) * 0.95)], 2),
+        "positions_build_s": pos_build_s,
+        "phrase_serve_p50_ms": round(plat[len(plat) // 2], 2),
         "parallelism": cpus,
     }
     print(json.dumps(out))

@@ -33,6 +33,13 @@ head term's positions never form one mega-row; a phrase query reads only
 its terms' rows; positions add ~1 varbyte per occurrence next to the main
 index's ~1.2 bytes/posting. Candidate verification is per-query numpy over
 the decoded lists — the same latency class as the BM25 serving scorer.
+
+Known limit (deliberate): the positional index is rebuilt per corpus
+snapshot, not delta-appended — rows are doc-disjoint, so appending would
+be the same delta-directory move as incremental.py, but phrase serving
+over a group is not wired yet; rebuild positions after compaction (the
+build is one shuffle over token occurrences, cheaper than the main index
+build's pack+merge).
 """
 
 from __future__ import annotations
