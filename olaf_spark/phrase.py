@@ -64,8 +64,13 @@ from olaf_spark.tokenize import tokenize_py, tokens_df
 
 POSITIONS_SCHEMA = (
     "term_id long, n_docs long, "
-    "doc_ids_bin binary, pos_counts_bin binary, pos_bin binary"
+    "doc_ids_bin binary, pos_counts_bin binary, pos_bin binary, "
+    "pos_offs array<long>"
 )
+
+#: positional layout version; 2 = per-doc byte offsets (lazy candidate
+#: decode). Checked at read so a stale layout fails loudly.
+POSITIONS_FORMAT_VERSION = 2
 
 _DEFAULT = EngineConfig()
 
@@ -110,17 +115,33 @@ def _make_pack_positions(lo: int, width: int, n_buckets: int):
         g_docs = np.searchsorted(doc_starts, g_rows)     # doc space
         n_docs = np.diff(np.append(g_docs, doc_starts.size))
 
+        # positions: ONE buffer per group, gap-encoded with an ABSOLUTE
+        # restart at every doc boundary, plus each doc's byte offset inside
+        # its group buffer — the lazy-decode seek table (phrase serving
+        # decodes ONLY candidate docs' position runs, like the blocked
+        # posting codec decodes only surviving blocks)
+        from olaf_spark.codec import _varbyte_encode_arr, delta_encode_grouped
+
+        pv = delta_encode_grouped(pos, doc_starts)
+        buf, nbytes = _varbyte_encode_arr(pv)
+        vstarts = np.concatenate([[0], np.cumsum(nbytes)])
+        g_bytes = vstarts[g_rows]
+        g_ends = np.append(g_bytes[1:], vstarts[-1])
+        raw = buf.tobytes()
+        pos_bufs = [raw[int(s):int(e)] for s, e in zip(g_bytes, g_ends)]
+        doc_abs = vstarts[doc_starts]
+        group_of_doc = np.searchsorted(g_rows, doc_starts, side="right") - 1
+        rel = (doc_abs - g_bytes[group_of_doc]).astype(np.int64)
+        pos_offs = [a.tolist() for a in np.split(rel, g_docs[1:])]
+
         return pd.DataFrame(
             {
                 "term_id": terms[g_rows],
                 "n_docs": n_docs.astype("int64"),
                 "doc_ids_bin": encode_grouped(doc_ids, g_docs, delta=True),
                 "pos_counts_bin": encode_grouped(counts, g_docs, delta=False),
-                # positions: ONE buffer per group, gap-encoded with an
-                # ABSOLUTE restart at every doc boundary (delta_starts)
-                "pos_bin": encode_grouped(
-                    pos, g_rows, delta=True, delta_starts=doc_starts
-                ),
+                "pos_bin": pos_bufs,
+                "pos_offs": pos_offs,
             }
         )
 
@@ -167,33 +188,73 @@ def build_positions(
     packed.write.mode("overwrite").partitionBy("tb").parquet(pos_dir)
     cfg.save(out_dir)
     with open(os.path.join(out_dir, "positions_meta.json"), "w") as f:
-        json.dump({"n_buckets": n_buckets, "format_version": 1}, f)
+        json.dump({"n_buckets": n_buckets, "format_version": POSITIONS_FORMAT_VERSION}, f)
     return out_dir
 
 
-def _term_doc_positions(
-    dataset, term_ids: list[int], n_segments: int
-) -> dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    """term_id -> (doc_ids, counts, positions) concatenated over its rows."""
+def _fetch_term_rows(dataset, term_ids: list[int], n_segments: int) -> dict[int, list[dict]]:
+    """term_id -> rows with doc_ids/counts DECODED but positions RAW
+    (buffer + per-doc offsets) — positions decode lazily per candidate."""
     import pyarrow.compute as pc
 
     qids = sorted(set(term_ids))
     tbs = sorted({i % n_segments for i in qids})
     flt = pc.field("tb").isin(tbs) & pc.field("term_id").isin(qids)
-    per: dict[int, list[tuple[np.ndarray, np.ndarray, np.ndarray]]] = {}
-    for r in dataset.to_table(filter=flt).to_pylist():
-        ids = delta_decode(varbyte_decode(bytes(r["doc_ids_bin"]))).astype(np.int64)
-        counts = varbyte_decode(bytes(r["pos_counts_bin"]))
-        pos = _seg_cumsum(varbyte_decode(bytes(r["pos_bin"])), counts)
-        per.setdefault(r["term_id"], []).append((ids, counts, pos))
-    out = {}
-    for tid, chunks in per.items():
-        out[tid] = (
-            np.concatenate([c[0] for c in chunks]),
-            np.concatenate([c[1] for c in chunks]),
-            np.concatenate([c[2] for c in chunks]),
+    tbl = dataset.to_table(filter=flt)
+    per: dict[int, list[dict]] = {}
+    tids_col = tbl["term_id"].to_pylist()
+    id_col = tbl["doc_ids_bin"]
+    cnt_col = tbl["pos_counts_bin"]
+    pos_col = tbl["pos_bin"]
+    offs_col = tbl["pos_offs"]
+    for i, tid in enumerate(tids_col):
+        # arrow-native access: a head term's pos_offs holds one long per doc
+        # (hundreds of thousands) — .values.to_numpy() is a buffer view,
+        # where a to_pylist() round-trip built million-element Python lists
+        # per query (measured ~2x on head-term phrases)
+        per.setdefault(tid, []).append(
+            dict(
+                ids=delta_decode(varbyte_decode(id_col[i].as_py())).astype(np.int64),
+                counts=varbyte_decode(cnt_col[i].as_py()).astype(np.int64),
+                buf=pos_col[i].as_py(),
+                offs=offs_col[i].values.to_numpy().astype(np.int64),
+            )
         )
-    return out
+    return per
+
+
+def _positions_for_docs(
+    row: dict, keep: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(kept doc_ids, kept counts, kept positions).
+
+    HYBRID decode — the same lesson as the blocked posting codec: per-run
+    Python decode calls only pay when the kept set is SPARSE. A selective
+    phrase (rare partner term) keeps a few hundred scattered docs -> slice
+    + decode only their byte ranges as contiguous runs; a dense keep (both
+    terms common) would shatter into tens of thousands of tiny runs, so
+    decode the whole buffer once and mask instead.
+    """
+    idx = np.flatnonzero(keep)
+    if idx.size == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, np.empty(0, dtype=np.uint64)
+    ids, counts, buf, offs = row["ids"], row["counts"], row["buf"], row["offs"]
+    n = ids.size
+    cuts = np.flatnonzero(np.diff(idx) > 1) + 1
+    n_runs = cuts.size + 1
+    if idx.size * 4 > n or n_runs > 4096:
+        # dense: one full decode + occurrence mask beats run shattering
+        pos_all = _seg_cumsum(varbyte_decode(buf), counts)
+        occ_keep = np.repeat(keep, counts)
+        return ids[idx], counts[idx], pos_all[occ_keep]
+    pos_l = []
+    for run in np.split(idx, cuts):
+        i0, i1 = int(run[0]), int(run[-1]) + 1
+        lo = int(offs[i0])
+        hi = int(offs[i1]) if i1 < n else len(buf)
+        pos_l.append(_seg_cumsum(varbyte_decode(buf[lo:hi]), counts[i0:i1]))
+    return ids[idx], counts[idx], np.concatenate(pos_l)
 
 
 def phrase_topk(
@@ -209,10 +270,20 @@ def phrase_topk(
     """
     import pyarrow.dataset as ds
 
+    import json
+
     cfg = cfg or EngineConfig.load(index_dir)
-    if not os.path.exists(os.path.join(index_dir, "positions_meta.json")):
+    meta_path = os.path.join(index_dir, "positions_meta.json")
+    if not os.path.exists(meta_path):
         raise FileNotFoundError(
             f"{index_dir} has no positional side index — run build_positions"
+        )
+    with open(meta_path) as f:
+        found = json.load(f).get("format_version", 1)
+    if found != POSITIONS_FORMAT_VERSION:
+        raise ValueError(
+            f"positions at {index_dir} are format v{found}; this engine reads "
+            f"v{POSITIONS_FORMAT_VERSION} — rebuild with build_positions"
         )
     dataset = ds.dataset(
         os.path.join(index_dir, "positions"), format="parquet", partitioning="hive"
@@ -221,36 +292,53 @@ def phrase_topk(
     if not qterms:
         return []
     tids = [term_id_py(t) for t in qterms]
-    data = _term_doc_positions(dataset, tids, cfg.n_segments)
+    data = _fetch_term_rows(dataset, tids, cfg.n_segments)
     if any(t not in data for t in tids):
         return []  # some phrase term matches nothing
 
-    # candidate docs: intersection of each term's doc set
+    # candidate docs: intersection of each term's doc set — computed from
+    # the (cheap) doc-id headers BEFORE any position bytes are touched, so
+    # a head-term phrase with one selective term only ever decodes the
+    # selective candidate set's positions
     cand = None
     for t in set(tids):
-        d = np.unique(data[t][0])
+        d = np.unique(np.concatenate([r["ids"] for r in data[t]]))
         cand = d if cand is None else np.intersect1d(cand, d, assume_unique=True)
     if cand.size == 0:
         return []
 
-    # per term: (doc ordinal, adjusted position) packed into one int64 key;
-    # positions are bounded per doc, so M = max_pos + len(phrase) + 1 makes
-    # the packing collision-free and ordinals keep the product in range
-    M = 0
-    for t in set(tids):
-        if data[t][2].size:
-            M = max(M, int(data[t][2].max()))
-    M = M + len(qterms) + 2
+    # decode ONLY candidate docs' positions, per term (lazy runs)
+    per_term: list[tuple[np.ndarray, np.ndarray]] = []  # (doc_ord, pos)
+    max_pos = 0
+    for t in tids:
+        ords_l, pos_l = [], []
+        for row in data[t]:
+            pos_idx = np.searchsorted(cand, row["ids"])
+            keep = (pos_idx < cand.size) & (
+                cand[np.minimum(pos_idx, cand.size - 1)] == row["ids"]
+            )
+            kids, kcounts, kpos = _positions_for_docs(row, keep)
+            if kids.size == 0:
+                continue
+            ords_l.append(np.repeat(np.searchsorted(cand, kids), kcounts))
+            pos_l.append(kpos.astype(np.int64))
+        if not ords_l:
+            return []
+        ords = np.concatenate(ords_l)
+        pos = np.concatenate(pos_l)
+        if pos.size:
+            max_pos = max(max_pos, int(pos.max()))
+        per_term.append((ords, pos))
+
+    # (doc ordinal, adjusted position) packed into one int64 key; positions
+    # are bounded per doc, so M = max_pos + len(phrase) + 2 makes the
+    # packing collision-free and ordinals keep the product in int64 range
+    M = max_pos + len(qterms) + 2
     keys = None
-    for i, t in enumerate(tids):
-        ids, counts, pos = data[t]
-        ords = np.searchsorted(cand, ids)
-        keep = (ords < cand.size) & (cand[np.minimum(ords, cand.size - 1)] == ids)
-        doc_ord = np.repeat(ords[keep], counts[keep].astype(np.int64))
-        doc_pos = pos[np.repeat(keep, counts.astype(np.int64))].astype(np.int64)
-        adj = doc_pos - i
+    for i, (ords, pos) in enumerate(per_term):
+        adj = pos - i
         valid = adj >= 0
-        kk = doc_ord[valid] * M + adj[valid]
+        kk = ords[valid] * M + adj[valid]
         keys = kk if keys is None else np.intersect1d(keys, kk)
         if keys.size == 0:
             return []
