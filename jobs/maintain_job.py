@@ -57,6 +57,11 @@ def main() -> None:
     p_app.add_argument("--from-html", action="store_true")
     p_app.add_argument("--delta-name", default=None)
     p_app.add_argument("--n-buckets", type=int, default=16)
+    p_app.add_argument(
+        "--with-positions", action="store_true",
+        help="also build the delta's positional rows (keeps phrase queries "
+        "serving through the delta phase)",
+    )
 
     p_pos = sub.add_parser(
         "positions", help="build the positional side index (phrase queries)"
@@ -88,6 +93,7 @@ def main() -> None:
         delta = append_index(
             spark, _load_pages(spark, args), args.index,
             n_buckets=args.n_buckets, delta_name=args.delta_name,
+            with_positions=args.with_positions,
         )
         print(json.dumps({
             "cmd": "append", "delta_dir": delta.index_dir,

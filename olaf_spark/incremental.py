@@ -85,6 +85,7 @@ def append_index(
     id_col: str = "doc_id",
     n_buckets: int = 16,
     delta_name: str | None = None,
+    with_positions: bool = False,
 ) -> Index:
     """Append new documents to an existing index as a delta segment-index.
 
@@ -127,6 +128,16 @@ def append_index(
                 break
             except FileExistsError:
                 n += 1
+    # positions (if requested) land BEFORE build_index so stats.json — the
+    # delta's commit marker — implies the positional rows exist too (a
+    # replayed committed delta must never be missing its positions)
+    if with_positions:
+        from olaf_spark.phrase import build_positions
+
+        build_positions(
+            spark, new_docs, delta_dir, base.cfg,
+            text_col=text_col, id_col=id_col, n_buckets=n_buckets,
+        )
     # resume=True: never rmtree the claimed dir (re-creating it would open a
     # window where a concurrent append re-claims the same name); a replayed
     # half-built epoch delta resumes from its lineage instead.

@@ -34,12 +34,14 @@ its terms' rows; positions add ~1 varbyte per occurrence next to the main
 index's ~1.2 bytes/posting. Candidate verification is per-query numpy over
 the decoded lists — the same latency class as the BM25 serving scorer.
 
-Known limit (deliberate): the positional index is rebuilt per corpus
-snapshot, not delta-appended — rows are doc-disjoint, so appending would
-be the same delta-directory move as incremental.py, but phrase serving
-over a group is not wired yet; rebuild positions after compaction (the
-build is one shuffle over token occurrences, cheaper than the main index
-build's pack+merge).
+Delta phase: positional rows are doc-disjoint and phrase_tf needs no
+corpus statistics, so group serving is just "read every part's position
+rows" — phrase_topk automatically includes any delta that carries its own
+positions (append_index(..., with_positions=True) builds them alongside
+the delta's postings), and refuses loudly if some delta lacks them
+(silent partial answers would be worse). After compact_index, rebuild
+positions once for the folded corpus (one shuffle, ~3x faster than the
+main index build — no merge stage).
 """
 
 from __future__ import annotations
@@ -268,31 +270,48 @@ def phrase_topk(
     term i contributes keys (doc_ordinal, pos - i); the intersection across
     all terms is the set of phrase start positions.
     """
-    import pyarrow.dataset as ds
-
     import json
 
+    import pyarrow.dataset as ds
+
     cfg = cfg or EngineConfig.load(index_dir)
-    meta_path = os.path.join(index_dir, "positions_meta.json")
-    if not os.path.exists(meta_path):
-        raise FileNotFoundError(
-            f"{index_dir} has no positional side index — run build_positions"
-        )
-    with open(meta_path) as f:
-        found = json.load(f).get("format_version", 1)
-    if found != POSITIONS_FORMAT_VERSION:
-        raise ValueError(
-            f"positions at {index_dir} are format v{found}; this engine reads "
-            f"v{POSITIONS_FORMAT_VERSION} — rebuild with build_positions"
-        )
-    dataset = ds.dataset(
-        os.path.join(index_dir, "positions"), format="parquet", partitioning="hive"
-    )
+
+    def _check_positions(d: str) -> None:
+        meta_path = os.path.join(d, "positions_meta.json")
+        if not os.path.exists(meta_path):
+            raise FileNotFoundError(
+                f"{d} has no positional side index — run build_positions "
+                "(or append with with_positions=True)"
+            )
+        with open(meta_path) as f:
+            found = json.load(f).get("format_version", 1)
+        if found != POSITIONS_FORMAT_VERSION:
+            raise ValueError(
+                f"positions at {d} are format v{found}; this engine reads "
+                f"v{POSITIONS_FORMAT_VERSION} — rebuild with build_positions"
+            )
+
+    # group serving: every live delta must carry its own positions (phrase
+    # answers need no cross-part statistics, so the union of part rows IS
+    # the group index; a delta without positions would silently vanish
+    # from phrase results — refuse instead)
+    from olaf_spark.incremental import _delta_dirs
+
+    part_dirs = [index_dir] + _delta_dirs(index_dir)
+    for d in part_dirs:
+        _check_positions(d)
+    datasets = [
+        ds.dataset(os.path.join(d, "positions"), format="parquet", partitioning="hive")
+        for d in part_dirs
+    ]
     qterms = tokenize_py(phrase, cfg)  # ORDER MATTERS — not deduped/sorted
     if not qterms:
         return []
     tids = [term_id_py(t) for t in qterms]
-    data = _fetch_term_rows(dataset, tids, cfg.n_segments)
+    data: dict[int, list[dict]] = {}
+    for dataset in datasets:
+        for tid, rows in _fetch_term_rows(dataset, tids, cfg.n_segments).items():
+            data.setdefault(tid, []).extend(rows)
     if any(t not in data for t in tids):
         return []  # some phrase term matches nothing
 

@@ -78,6 +78,42 @@ def test_needle_phrase_unique_doc(positional):
     assert_matches_referent(rows, d, " ".join(last_two), k=5)
 
 
+def test_phrase_over_live_group_equals_full_rebuild(spark, positional, tmp_path):
+    """Delta-phase phrase serving: main indexed+positioned on half the
+    corpus, the other half appended with with_positions=True — phrase
+    answers must equal the full-corpus referent (positional rows are
+    doc-disjoint; no cross-part statistics exist to go stale)."""
+    from olaf_spark.incremental import append_index
+    from olaf_spark.indexer import build_index
+
+    rows, _ = positional
+    pages = spark.createDataFrame(rows, "doc_id long, text string")
+    base = str(tmp_path / "gp")
+    build_index(spark, pages.where("doc_id % 2 = 0"), base, CFG, n_buckets=4)
+    build_positions(spark, pages.where("doc_id % 2 = 0"), base, CFG, n_buckets=4)
+    append_index(
+        spark, pages.where("doc_id % 2 = 1"), base, n_buckets=4, with_positions=True
+    )
+    for phrase in ("w2 w3", "w3 w2 w2"):
+        assert_matches_referent(rows, base, phrase)
+
+
+def test_phrase_refuses_positionless_delta(spark, positional, tmp_path):
+    """A delta without positional rows must FAIL the phrase query loudly —
+    silently dropping its docs from phrase answers would be worse."""
+    from olaf_spark.incremental import append_index
+    from olaf_spark.indexer import build_index
+
+    rows, _ = positional
+    pages = spark.createDataFrame(rows[:80], "doc_id long, text string")
+    base = str(tmp_path / "gnp")
+    build_index(spark, pages.where("doc_id % 2 = 0"), base, CFG, n_buckets=2)
+    build_positions(spark, pages.where("doc_id % 2 = 0"), base, CFG, n_buckets=2)
+    append_index(spark, pages.where("doc_id % 2 = 1"), base, n_buckets=2)
+    with pytest.raises(FileNotFoundError):
+        phrase_topk(base, "w2 w3")
+
+
 def test_positions_survive_small_arrow_batches(spark, positional, tmp_path):
     """Pack correctness independent of Arrow batch slicing (the
     _iter_term_chunks carry path)."""
