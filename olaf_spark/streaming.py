@@ -124,13 +124,19 @@ def stateful_match_accumulator(hits: DataFrame, ttl: str = "10 seconds") -> Data
     )
 
 
-def stream_index_appends(spark: SparkSession, base_dir: str, n_buckets: int = 8):
+def stream_index_appends(
+    spark: SparkSession,
+    base_dir: str,
+    n_buckets: int = 8,
+    with_positions: bool = False,
+):
     """foreachBatch handler: each micro-batch of documents appends to the
     index as a delta (incremental.append_index) — Olaf's live store append
     (`src/olaf_db.c:309-311`, readers see each committed txn) re-expressed
     as Structured Streaming. Queries through IndexGroup see every completed
     batch; rank/score-identical to a clean rebuild over all ingested docs
-    (tests/test_incremental.py).
+    (tests/test_incremental.py). with_positions=True keeps phrase queries
+    serving through the stream (each delta carries its positional rows).
     """
     from olaf_spark.incremental import append_index
 
@@ -145,6 +151,7 @@ def stream_index_appends(spark: SparkSession, base_dir: str, n_buckets: int = 8)
         append_index(
             spark, batch_df, base_dir, n_buckets=n_buckets,
             delta_name=f"delta_epoch_{int(epoch_id):010d}",
+            with_positions=with_positions,
         )
 
     return handle
