@@ -47,6 +47,16 @@ from olaf_spark.tokenize import tokenize_py
 PARTIAL_SCHEMA = "query_id long, doc_id long, term string, contrib double"
 
 
+def _subs_for(queries: Iterable[tuple[int, str]], cfg) -> dict[int, list[tuple[int, str]]]:
+    """term_id -> [(query_id, term)] subscription map for a query batch —
+    shared by the single-index and group batch paths."""
+    subs: dict[int, list[tuple[int, str]]] = {}
+    for qid, text in queries:
+        for term in sorted(set(tokenize_py(text, cfg))):
+            subs.setdefault(term_id_py(term), []).append((int(qid), term))
+    return subs
+
+
 def _make_score_partials(
     bsubs,
     n_docs: int,
@@ -140,10 +150,7 @@ def batch_query_index(
         min_score = cfg.min_score
 
     # ---- driver side: tokenize the batch, build the term subscription map --
-    subs: dict[int, list[tuple[int, str]]] = {}
-    for qid, text in queries:
-        for term in sorted(set(tokenize_py(text, cfg))):
-            subs.setdefault(term_id_py(term), []).append((int(qid), term))
+    subs = _subs_for(queries, cfg)
     if not subs:
         return spark.createDataFrame(
             [], "query_id long, doc_id long, score double, rank long"
@@ -223,10 +230,7 @@ def batch_query_index_group(
     if min_score is None:
         min_score = cfg.min_score
 
-    subs: dict[int, list[tuple[int, str]]] = {}
-    for qid, text in queries:
-        for term in sorted(set(tokenize_py(text, cfg))):
-            subs.setdefault(term_id_py(term), []).append((int(qid), term))
+    subs = _subs_for(queries, cfg)
     if not subs:
         return spark.createDataFrame(
             [], "query_id long, doc_id long, score double, rank long"
@@ -235,7 +239,10 @@ def batch_query_index_group(
     tbs = sorted({t % cfg.n_segments for t in qids_terms})
 
     # group-global df: sum the per-(term, part) df once per part — read from
-    # the posting row HEADERS (term_id, df, chunk), no posting bytes touched
+    # the posting row HEADERS (term_id, df), no posting bytes touched.
+    # SEMANTICS TWIN of IndexGroup._fetch_rows' part_df dedup
+    # (incremental.py): any change to group df (e.g. tombstone-aware df)
+    # must land in both, or batch and serving scores diverge.
     flt = pc.field("tb").isin(tbs) & pc.field("term_id").isin(qids_terms)
     df_total: dict[int, int] = {}
     for p in group.parts:

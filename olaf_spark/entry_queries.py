@@ -34,12 +34,15 @@ FLAGSHIP_QUERY = "spark join window"
 K = 10
 
 # Shared DuckDB CTE: tokenized documents -> (doc_id, term); twin of tokens_df.
+# The filter mirrors the FULL tokenizer contract (non-empty AND
+# max_token_len=64 — EngineConfig defaults): an over-length token must
+# vanish on both engines or positions/doc_lens diverge.
 SQL_TOK = f"""
 tok AS (
   SELECT doc_id, term FROM (
     SELECT doc_id, unnest(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}')) AS term
     FROM documents
-  ) WHERE term <> ''
+  ) WHERE term <> '' AND len(term) <= 64
 )
 """
 
@@ -117,7 +120,7 @@ def q_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DOC_LENGTHS = f"""
 SELECT doc_id,
        len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
-                       t -> t <> ''))::BIGINT AS doc_len
+                       t -> t <> '' AND len(t) <= 64))::BIGINT AS doc_len
 FROM documents
 """
 
@@ -149,7 +152,7 @@ SQL_CORPUS_STATS = f"""
 WITH dl AS (
   SELECT doc_id,
          len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
-                         t -> t <> '')) AS doc_len
+                         t -> t <> '' AND len(t) <= 64)) AS doc_len
   FROM documents
 )
 SELECT count(*)::BIGINT AS n_docs, round(avg(doc_len), 6)::DOUBLE AS avgdl FROM dl
@@ -178,7 +181,7 @@ WITH {SQL_TF}
 , dl AS (
   SELECT doc_id,
          len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
-                         t -> t <> ''))::BIGINT AS doc_len
+                         t -> t <> '' AND len(t) <= 64))::BIGINT AS doc_len
   FROM documents
 )
 , stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(doc_len)::DOUBLE AS avgdl FROM dl)
@@ -511,7 +514,7 @@ WITH tokpos AS (
   FROM (
     SELECT doc_id,
            list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
-                       t -> t <> '') AS arr
+                       t -> t <> '' AND len(t) <= 64) AS arr
     FROM documents
   )
 )
@@ -582,7 +585,7 @@ WITH tokpos AS (
   FROM (
     SELECT doc_id,
            list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
-                       t -> t <> '') AS arr
+                       t -> t <> '' AND len(t) <= 64) AS arr
     FROM documents
   )
 ),
@@ -719,7 +722,7 @@ WITH {SQL_TF}
 , dl AS (
   SELECT doc_id,
          len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
-                         t -> t <> ''))::BIGINT AS doc_len
+                         t -> t <> '' AND len(t) <= 64))::BIGINT AS doc_len
   FROM documents
 )
 , stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(doc_len)::DOUBLE AS avgdl FROM dl)
@@ -872,7 +875,7 @@ sh AS (
       FROM (
         SELECT doc_id,
                list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
-                           t -> t <> '') AS toks
+                           t -> t <> '' AND len(t) <= 64) AS toks
         FROM documents
       )
     )

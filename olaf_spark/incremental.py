@@ -551,6 +551,16 @@ def compact_index(
     group = IndexGroup.load(base_dir)
     cfg = group.cfg
     t0 = time.time()
+    n_groups = max(1, min(n_groups, cfg.n_segments))
+    if os.path.exists(os.path.join(out_dir, "stats.json")):
+        # a COMPLETED compaction is immutable (the v1 -> v2 directory
+        # pattern): re-running into it would skip every committed range and
+        # stamp fresh stats over stale postings — refuse instead
+        raise ValueError(
+            f"{out_dir} already holds a completed compacted index; compact "
+            "into a fresh out_dir (deltas appended since then are not "
+            "foldable into a committed compaction)"
+        )
     os.makedirs(out_dir, exist_ok=True)
     cfg.save(out_dir)
     post_dir = os.path.join(out_dir, "postings")
@@ -559,16 +569,33 @@ def compact_index(
     os.makedirs(post_dir, exist_ok=True)
     os.makedirs(staging_root, exist_ok=True)
 
-    # tombstone snapshot: first run records it, resume replays it verbatim
-    snap_path = os.path.join(staging_root, "tombstones_snapshot.json")
+    # manifest: first run pins (tombstone snapshot, n_groups, n_parts);
+    # a resume must match it — lineage rows identify done work by group
+    # index, which only means anything under the SAME range partitioning
+    # and input part set
+    snap_path = os.path.join(staging_root, "compact_manifest.json")
     if os.path.exists(snap_path):
         with open(snap_path) as f:
-            tombstones = set(json.load(f))
+            manifest = json.load(f)
+        if manifest["n_groups"] != n_groups or manifest["n_parts"] != len(group.parts):
+            raise ValueError(
+                f"interrupted compaction at {out_dir} ran with n_groups="
+                f"{manifest['n_groups']} over {manifest['n_parts']} parts; "
+                f"this run requests n_groups={n_groups} over "
+                f"{len(group.parts)} parts — resume with the original "
+                "settings or remove the out_dir to restart"
+            )
+        tombstones = set(manifest["tombstones"])
     else:
         tombstones = group.tombstones()
+        manifest = dict(
+            tombstones=sorted(tombstones),
+            n_groups=n_groups,
+            n_parts=len(group.parts),
+        )
         tmp = snap_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(sorted(tombstones), f)
+            json.dump(manifest, f)
         os.replace(tmp, snap_path)
 
     dfs = [p.postings(spark) for p in group.parts]
@@ -581,7 +608,6 @@ def compact_index(
     compact_fn = _make_compact_fn(group.n_docs, group.avgdl, cfg, tombstones)
     if n_merge_tasks is None:
         n_merge_tasks = max(cfg.n_segments, 128)
-    n_groups = max(1, min(n_groups, cfg.n_segments))
 
     done = _completed_compact_groups(out_dir)
     for g in range(n_groups):

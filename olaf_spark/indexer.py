@@ -442,22 +442,47 @@ class Index:
             self._tombstones = self._read_tombstones_disk()
         return self._tombstones
 
-    def _commit_tombstones(self, ts: set[int]) -> None:
-        """Atomic commit (tmp + os.replace — the same commit-file pattern as
-        lineage manifests and the delta mkdir claim): a crash mid-write
-        leaves the previous file intact, never truncated JSON. Writers
-        re-read the on-disk state immediately before publishing, so two
-        racing delete/undelete calls converge on the union of their intents
-        instead of last-writer-wins over stale caches."""
+    def _mutate_tombstones(self, fn) -> None:
+        """Serialized read-modify-write under an O_EXCL lockfile (Olaf's
+        LMDB writer mutex, olaf_db.c:28-37, scaled down to a maintenance
+        op): the re-read happens INSIDE the lock, so two racing
+        delete/undelete calls truly converge on the union of their intents
+        — not just "each write is atomic" (tmp + os.replace additionally
+        guarantees a crash mid-write leaves the previous file intact). A
+        crashed holder's lock is taken over after 30 s by mtime. Advisory
+        and same-filesystem; O_EXCL is not reliable on NFSv2 — route
+        cross-host deletes through one maintenance process.
+        """
+        import time as _time
         import uuid
 
-        tmp = f"{self._tombstone_path}.tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(sorted(ts), f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._tombstone_path)
-        self._tombstones = ts
+        lock = self._tombstone_path + ".lock"
+        while True:
+            try:
+                os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                break
+            except FileExistsError:
+                try:
+                    if _time.time() - os.path.getmtime(lock) > 30.0:
+                        os.unlink(lock)  # stale lock from a crashed holder
+                        continue
+                except FileNotFoundError:
+                    continue  # holder just released; retry immediately
+                _time.sleep(0.01)
+        try:
+            ts = fn(self._read_tombstones_disk())
+            tmp = f"{self._tombstone_path}.tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(sorted(ts), f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self._tombstone_path)
+            self._tombstones = ts
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
 
     def delete_docs(self, doc_ids: list[int]) -> None:
         """Merge-on-read deletion: doc_ids are tombstoned, not rewritten —
@@ -465,12 +490,12 @@ class Index:
         correct move: rewriting a 100 TB index for a delete is not).
         A compaction would rebuild only the buckets containing them.
         """
-        self._commit_tombstones(self._read_tombstones_disk() | {int(d) for d in doc_ids})
+        self._mutate_tombstones(lambda ts: ts | {int(d) for d in doc_ids})
 
     def undelete_docs(self, doc_ids: list[int]) -> None:
         """Restore previously deleted docs (Olaf's re-store restores counts,
         tests/olaf_functional_tests.zig:462-560 analogue)."""
-        self._commit_tombstones(self._read_tombstones_disk() - {int(d) for d in doc_ids})
+        self._mutate_tombstones(lambda ts: ts - {int(d) for d in doc_ids})
 
 
 _LINEAGE_SCHEMA_PD = {

@@ -81,7 +81,7 @@ def lang_id_sql() -> str:
 WITH base AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
-                     t -> t <> '') AS toks
+                     t -> t <> '' AND len(t) <= 64) AS toks
   FROM documents
 ), scored AS (
   SELECT doc_id, {", ".join(score_cols)} FROM base
@@ -130,7 +130,7 @@ def quality_score_sql() -> str:
 WITH base AS (
   SELECT doc_id, text,
          list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
-                     t -> t <> '') AS toks
+                     t -> t <> '' AND len(t) <= 64) AS toks
   FROM documents
 ), m AS (
   SELECT doc_id,

@@ -308,9 +308,17 @@ def phrase_topk(
     if not qterms:
         return []
     tids = [term_id_py(t) for t in qterms]
+    # parts fetch concurrently (pyarrow releases the GIL) — group latency
+    # tracks the slowest part, not the sum, as deltas accumulate
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, len(datasets))) as ex:
+        fetched = list(
+            ex.map(lambda dd: _fetch_term_rows(dd, tids, cfg.n_segments), datasets)
+        )
     data: dict[int, list[dict]] = {}
-    for dataset in datasets:
-        for tid, rows in _fetch_term_rows(dataset, tids, cfg.n_segments).items():
+    for part_rows in fetched:
+        for tid, rows in part_rows.items():
             data.setdefault(tid, []).extend(rows)
     if any(t not in data for t in tids):
         return []  # some phrase term matches nothing
@@ -326,10 +334,11 @@ def phrase_topk(
     if cand.size == 0:
         return []
 
-    # decode ONLY candidate docs' positions, per term (lazy runs)
-    per_term: list[tuple[np.ndarray, np.ndarray]] = []  # (doc_ord, pos)
+    # decode ONLY candidate docs' positions, ONCE per UNIQUE term (a
+    # repeated phrase term reuses its decode; only the adjustment differs)
+    decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}  # (doc_ord, pos)
     max_pos = 0
-    for t in tids:
+    for t in dict.fromkeys(tids):
         ords_l, pos_l = [], []
         for row in data[t]:
             pos_idx = np.searchsorted(cand, row["ids"])
@@ -347,7 +356,8 @@ def phrase_topk(
         pos = np.concatenate(pos_l)
         if pos.size:
             max_pos = max(max_pos, int(pos.max()))
-        per_term.append((ords, pos))
+        decoded[t] = (ords, pos)
+    per_term = [decoded[t] for t in tids]
 
     # (doc ordinal, adjusted position) packed into one int64 key; positions
     # are bounded per doc, so M = max_pos + len(phrase) + 2 makes the

@@ -215,6 +215,32 @@ def test_compact_resume_after_kill(spark, grouped, tmp_path):
         assert_identical(query_index(spark, compacted, q, K, method="wand"), want)
 
 
+def test_compact_refuses_mismatched_resume_and_completed_outdir(spark, grouped, tmp_path):
+    """Lineage group ids only mean anything under the SAME range
+    partitioning and part set: a resume with different n_groups must be
+    refused (it would silently skip never-compacted tb ranges), and
+    re-running into a COMPLETED out_dir must be refused (it would stamp
+    fresh stats over stale postings)."""
+    group, base = grouped
+    out = str(tmp_path / "mm")
+
+    class Boom(Exception):
+        pass
+
+    def bomb(g):
+        raise Boom(g)
+
+    with pytest.raises(Boom):
+        compact_index(spark, base, out, n_groups=4, _after_group=bomb)
+    with pytest.raises(ValueError, match="n_groups"):
+        compact_index(spark, base, out, n_groups=2)  # mismatched resume
+
+    done_dir = str(tmp_path / "done1")
+    compact_index(spark, base, done_dir, n_groups=2)
+    with pytest.raises(ValueError, match="completed"):
+        compact_index(spark, base, done_dir)
+
+
 def test_group_delete_then_compact_drops_postings(spark, halves, tmp_path):
     pages, a, b = halves
     base = str(tmp_path / "del")

@@ -301,6 +301,28 @@ def test_tombstone_commits_atomic_and_union_survives(spark, built, tmp_path):
     assert Index.load(d).tombstones() == {22}
     assert not [f for f in os.listdir(d) if ".tmp." in f]
 
+    # truly CONCURRENT writers: 4 threads x 25 disjoint deletes through
+    # separate handles — the lockfile serializes read-modify-write, so
+    # every intent must survive (not just the last writer's)
+    import threading
+
+    handles = [Index.load(d) for _ in range(4)]
+
+    def worker(ix, base):
+        for j in range(25):
+            ix.delete_docs([1000 + base * 100 + j])
+
+    threads = [
+        threading.Thread(target=worker, args=(h, i)) for i, h in enumerate(handles)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    want = {1000 + b * 100 + j for b in range(4) for j in range(25)}
+    assert want <= Index.load(d).tombstones()
+    assert not [f for f in os.listdir(d) if ".lock" in f or ".tmp." in f]
+
 
 def test_resume_skips_done_buckets_and_matches_clean(spark, built, tmp_path):
     """Kill-after-stage-1-subset restart: output equals a clean build."""

@@ -24,7 +24,11 @@ def py_phrase_tf(rows: list[tuple[int, str]], phrase: list[str]) -> dict[int, in
     """Reference: count exact-sequence occurrences per doc, pure Python."""
     out: dict[int, int] = {}
     for doc_id, text in rows:
-        toks = [t for t in re.split(CFG.token_split_re, text.lower()) if t]
+        toks = [
+            t
+            for t in re.split(CFG.token_split_re, text.lower())
+            if CFG.min_token_len <= len(t) <= CFG.max_token_len
+        ]
         n = sum(
             1
             for i in range(len(toks) - len(phrase) + 1)
