@@ -144,7 +144,10 @@ def main() -> None:
         if args.cmd == "delete":
             group.delete_docs(ids)
         else:
-            group.parts[0].undelete_docs(ids)
+            # group-level: clears the ids from EVERY part's tombstones (the
+            # read path unions them; a delta-recorded tombstone would
+            # otherwise keep the doc dead forever)
+            group.undelete_docs(ids)
         print(json.dumps({
             "cmd": args.cmd, "n_doc_ids": len(ids),
             "tombstones_now": len(group.tombstones()),

@@ -74,6 +74,13 @@ def main() -> None:
             "compact first (jobs/maintain_job.py compact)"
         )
 
+    if args.phrase and args.fuzzy:
+        raise SystemExit(
+            "--phrase and --fuzzy are mutually exclusive: a phrase is an "
+            "EXACT token sequence; widen individual terms with --fuzzy on a "
+            "non-phrase query instead"
+        )
+
     with open(args.queries) as f:
         queries = [line.strip() for line in f if line.strip()]
 

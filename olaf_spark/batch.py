@@ -222,7 +222,6 @@ def batch_query_index_group(
     doc) once per term — rank/score-identical to group serving and to a
     clean rebuild (tests/test_batch.py).
     """
-    import pyarrow.compute as pc
 
     cfg = group.cfg
     if k is None:
@@ -238,24 +237,13 @@ def batch_query_index_group(
     qids_terms = sorted(subs)
     tbs = sorted({t % cfg.n_segments for t in qids_terms})
 
-    # group-global df: sum the per-(term, part) df once per part — read from
-    # the posting row HEADERS (term_id, df), no posting bytes touched.
-    # SEMANTICS TWIN of IndexGroup._fetch_rows' part_df dedup
-    # (incremental.py): any change to group df (e.g. tombstone-aware df)
-    # must land in both, or batch and serving scores diverge.
-    flt = pc.field("tb").isin(tbs) & pc.field("term_id").isin(qids_terms)
-    df_total: dict[int, int] = {}
-    for p in group.parts:
-        tbl = p.dataset().to_table(filter=flt, columns=["term_id", "df"])
-        # every chunk row of a term within one part repeats that part's full
-        # df (and chunk ordinals are task-local, so chunk==0 may repeat) —
-        # dict assignment dedupes to one df per (term, part)
-        part_df: dict[int, int] = {}
-        for tid, df in zip(tbl["term_id"].to_pylist(), tbl["df"].to_pylist()):
-            part_df[tid] = int(df)
-        for tid, df in part_df.items():
-            df_total[tid] = df_total.get(tid, 0) + df
-    idf_map = {tid: idf_fn(group.n_docs, df) for tid, df in df_total.items()}
+    # group-global df from the single shared source (concurrent header-only
+    # reads) — a part row's df column is part-local, so idf resolves
+    # driver-side and rides the broadcast
+    idf_map = {
+        tid: idf_fn(group.n_docs, df)
+        for tid, df in group.term_dfs(qids_terms).items()
+    }
 
     ts = group.tombstones()
     ts_arr = np.fromiter(ts, dtype=np.int64) if ts else None

@@ -178,6 +178,45 @@ class IndexGroup:
         # group tombstones on the main part and applies the union at read
         self.parts[0].delete_docs(doc_ids)
 
+    def undelete_docs(self, doc_ids: list[int]) -> None:
+        """Remove the ids from EVERY part's tombstones (the read path takes
+        the union, so an id left on any part keeps the doc dead — the
+        asymmetric main-part-only undelete could never clear a tombstone
+        recorded on a delta)."""
+        ids = {int(d) for d in doc_ids}
+        for p in self.parts:
+            if p.tombstones() & ids:
+                p.undelete_docs(doc_ids)
+
+    def term_dfs(self, term_ids: list[int]) -> dict[int, int]:
+        """Group-global df per term: the per-(term, part) df recorded once
+        per part (every chunk row of a term repeats its part's full df),
+        summed across parts. Header-only reads (term_id, df), fetched
+        concurrently per part — THE single source of group df semantics,
+        shared by driver serving (_fetch_rows derives the same sums from
+        its full-row fetch) and the distributed batch path."""
+        import pyarrow.compute as pc
+        from concurrent.futures import ThreadPoolExecutor
+
+        qids = sorted(set(int(t) for t in term_ids))
+        tbs = sorted({i % self.cfg.n_segments for i in qids})
+        flt = pc.field("tb").isin(tbs) & pc.field("term_id").isin(qids)
+
+        def one(p: Index) -> dict[int, int]:
+            tbl = p.dataset().to_table(filter=flt, columns=["term_id", "df"])
+            part_df: dict[int, int] = {}
+            for tid, df in zip(tbl["term_id"].to_pylist(), tbl["df"].to_pylist()):
+                part_df[tid] = int(df)  # dict assignment dedupes chunk rows
+            return part_df
+
+        with ThreadPoolExecutor(max_workers=min(8, len(self.parts))) as ex:
+            per_part = list(ex.map(one, self.parts))
+        out: dict[int, int] = {}
+        for part_df in per_part:
+            for tid, df in part_df.items():
+                out[tid] = out.get(tid, 0) + df
+        return out
+
     def _fetch_rows(self, query_text: str):
         """Posting rows for the query terms from EVERY part, plus per-(term,
         part) df. Returns (rows [(term, part_idx, row)], df_total {term: df}).
@@ -323,6 +362,12 @@ class IndexGroup:
         delta-phase read path keeps its pruning exactly when the index is
         biggest. method="vectorized": full decode, the exactness referent.
         """
+        if method not in ("blockmax", "vectorized"):
+            raise ValueError(
+                f"IndexGroup.topk method must be 'blockmax' or 'vectorized', "
+                f"got {method!r} (wand/exhaustive are single-index referent "
+                "scorers — compact first)"
+            )
         if min_score is None:
             min_score = self.cfg.min_score
         if method == "blockmax":
@@ -574,16 +619,26 @@ def compact_index(
     # index, which only means anything under the SAME range partitioning
     # and input part set
     snap_path = os.path.join(staging_root, "compact_manifest.json")
+    # source identity: committed tb-ranges only mean anything for the SAME
+    # input — base path AND per-part doc counts (a different group with the
+    # same part count must not be silently mixed into a half-done output)
+    source = dict(
+        base_dir=os.path.abspath(base_dir),
+        part_n_docs=[p.n_docs for p in group.parts],
+    )
     if os.path.exists(snap_path):
         with open(snap_path) as f:
             manifest = json.load(f)
-        if manifest["n_groups"] != n_groups or manifest["n_parts"] != len(group.parts):
+        if (
+            manifest["n_groups"] != n_groups
+            or manifest.get("source") != source
+        ):
             raise ValueError(
                 f"interrupted compaction at {out_dir} ran with n_groups="
-                f"{manifest['n_groups']} over {manifest['n_parts']} parts; "
-                f"this run requests n_groups={n_groups} over "
-                f"{len(group.parts)} parts — resume with the original "
-                "settings or remove the out_dir to restart"
+                f"{manifest['n_groups']} over {manifest.get('source')}; this "
+                f"run requests n_groups={n_groups} over {source} — resume "
+                "with the original settings and source index, or remove the "
+                "out_dir to restart"
             )
         tombstones = set(manifest["tombstones"])
     else:
@@ -591,7 +646,7 @@ def compact_index(
         manifest = dict(
             tombstones=sorted(tombstones),
             n_groups=n_groups,
-            n_parts=len(group.parts),
+            source=source,
         )
         tmp = snap_path + ".tmp"
         with open(tmp, "w") as f:

@@ -464,7 +464,20 @@ class Index:
             except FileExistsError:
                 try:
                     if _time.time() - os.path.getmtime(lock) > 30.0:
-                        os.unlink(lock)  # stale lock from a crashed holder
+                        # stale lock from a crashed holder. Takeover must be
+                        # ATOMIC: rename-away first — only ONE waiter's
+                        # rename of the same source succeeds, so a second
+                        # waiter can never unlink the winner's freshly
+                        # re-acquired lock (the unlink-based takeover's
+                        # TOCTOU). A live holder slower than 30 s can still
+                        # be usurped — that is the documented mtime-lease
+                        # trade-off of any crash-recoverable file lock.
+                        stale = f"{lock}.stale.{uuid.uuid4().hex}"
+                        try:
+                            os.rename(lock, stale)
+                            os.unlink(stale)
+                        except FileNotFoundError:
+                            pass  # another waiter won the takeover race
                         continue
                 except FileNotFoundError:
                     continue  # holder just released; retry immediately

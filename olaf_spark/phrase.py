@@ -167,6 +167,12 @@ def build_positions(
     import json
 
     cfg = cfg or EngineConfig()
+    # config-freeze invariant (olaf_config.h:46-50): when out_dir already
+    # holds an index config (positions added to an existing index), the
+    # caller's cfg must EQUAL it — silently overwriting would re-tokenize
+    # the main postings under a different contract on the next load
+    if os.path.exists(os.path.join(out_dir, "engine_config.json")):
+        EngineConfig.load(out_dir).check_compatible(cfg)
     bounds = docs.agg(
         F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
     ).collect()[0]
@@ -331,6 +337,16 @@ def phrase_topk(
     for t in set(tids):
         d = np.unique(np.concatenate([r["ids"] for r in data[t]]))
         cand = d if cand is None else np.intersect1d(cand, d, assume_unique=True)
+    # merge-on-read deletes apply here like every other query path: the
+    # union of part tombstones drops candidates before any position decode
+    ts: set[int] = set()
+    for d_ in part_dirs:
+        ts_path = os.path.join(d_, "tombstones.json")
+        if os.path.exists(ts_path):
+            with open(ts_path) as f:
+                ts |= set(json.load(f))
+    if ts and cand.size:
+        cand = cand[~np.isin(cand, np.fromiter(ts, dtype=np.int64))]
     if cand.size == 0:
         return []
 

@@ -92,6 +92,30 @@ def test_group_blockmax_thresholded_skips_blocks(spark, grouped):
     assert 0 < stats["n_blocks_decoded"] < stats["n_blocks_total"], stats
 
 
+def test_group_topk_rejects_unknown_method(grouped):
+    group, _ = grouped
+    with pytest.raises(ValueError, match="blockmax"):
+        group.topk("w2", 5, method="wand")
+
+
+def test_group_undelete_clears_delta_tombstones(spark, grouped):
+    """A tombstone recorded on a DELTA part (e.g. the delta was operated on
+    standalone) must be clearable through the group-level undelete — the
+    read path unions part tombstones, so a main-part-only undelete could
+    never resurrect the doc."""
+    group, _ = grouped
+    victim = group.topk("needle97 w2", 1)[0][0]
+    try:
+        group.parts[1].delete_docs([victim])  # tombstone lives on the delta
+        assert victim in group.tombstones()
+        assert all(d != victim for d, _ in group.topk("needle97 w2", K))
+        group.undelete_docs([victim])
+        assert victim not in group.tombstones()
+        assert any(d == victim for d, _ in group.topk("needle97 w2", K))
+    finally:
+        group.undelete_docs([victim])
+
+
 def test_group_blockmax_with_tombstones(spark, grouped):
     group, base = grouped
     victim = group.topk("needle97 w2", 1, method="vectorized")[0][0]

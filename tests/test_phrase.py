@@ -118,6 +118,35 @@ def test_phrase_refuses_positionless_delta(spark, positional, tmp_path):
         phrase_topk(base, "w2 w3")
 
 
+def test_phrase_respects_tombstones(spark, positional, tmp_path):
+    """Merge-on-read deletes apply to phrase queries like every other path:
+    a tombstoned doc must vanish from phrase results (and return on
+    undelete)."""
+    import shutil
+
+    from olaf_spark.indexer import Index, build_index
+
+    rows, d = positional
+    pages = spark.createDataFrame(rows, "doc_id long, text string")
+    ix_dir = str(tmp_path / "pts")
+    build_index(spark, pages, ix_dir, CFG, n_buckets=2)
+    # graft the positional rows onto the index dir so tombstones.json and
+    # positions share one directory (the normal layout)
+    for name in ("positions", "positions_meta.json"):
+        src = f"{d}/{name}"
+        dst = f"{ix_dir}/{name}"
+        (shutil.copytree if name == "positions" else shutil.copyfile)(src, dst)
+    before = phrase_topk(ix_dir, "w2 w3", k=5)
+    assert before
+    victim = before[0][0]
+    ix = Index.load(ix_dir)
+    ix.delete_docs([victim])
+    after = phrase_topk(ix_dir, "w2 w3", k=5)
+    assert all(doc != victim for doc, _ in after), (victim, after)
+    ix.undelete_docs([victim])
+    assert phrase_topk(ix_dir, "w2 w3", k=5) == before
+
+
 def test_positions_survive_small_arrow_batches(spark, positional, tmp_path):
     """Pack correctness independent of Arrow batch slicing (the
     _iter_term_chunks carry path)."""
