@@ -2,17 +2,24 @@
 delete/undelete.
 
     spark-submit --py-files /tmp/olaf_spark.zip jobs/maintain_job.py \
-        append  --index s3://bucket/index/v1 --pages s3://bucket/new_pages/ \
+        append  --index /mnt/shared/index/v1 --pages s3://bucket/new_pages/ \
                 [--from-html] [--delta-name delta_batch_42] [--n-buckets 64]
 
     spark-submit --py-files /tmp/olaf_spark.zip jobs/maintain_job.py \
-        compact --index s3://bucket/index/v1 --out s3://bucket/index/v2 \
+        compact --index /mnt/shared/index/v1 --out /mnt/shared/index/v2 \
                 [--n-groups 8] [--n-merge-tasks 4096]
 
     spark-submit --py-files /tmp/olaf_spark.zip jobs/maintain_job.py \
         delete   --index ... --doc-ids 123,456     (or --urls-file urls.txt)
     spark-submit --py-files /tmp/olaf_spark.zip jobs/maintain_job.py \
         undelete --index ... --doc-ids 123,456
+
+--index / --out must live on a LOCAL or SHARED POSIX FILESYSTEM (NFS, EFS,
+Lustre, ...): the delta claim (atomic os.mkdir), the compaction staging
+promote (os.rename), lineage/manifest reads, and the tombstone lockfile are
+driver-side POSIX operations with no object-store equivalents — s3:// would
+need a rename-capable filesystem abstraction first. --pages is read through
+Spark and may be any Hadoop-supported URI (s3://, hdfs://, ...).
 
 Reference analogue: Olaf's store / delete / re-store maintenance commands
 against the live LMDB store (README.md:245-272, src/olaf_db.c:309-311);

@@ -20,6 +20,7 @@ Cross-engine parity rules (learned the hard way, keep following them):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1057,6 +1058,14 @@ _ANN_CACHE: dict[str, str] = {}
 ANN_PLANES = 6
 ANN_PROBES = 3
 
+#: the ANN oracles bake probe-signature LITERALS computed from the query
+#: vectors of ONE scale factor's embeddings table — they are only valid when
+#: the correctness driver compares at that same sf. The driver's contract is
+#: sf0.01; running the comparison at another sf requires pointing this at
+#: that sf's directory (otherwise the generators return None and the driver
+#: falls back to its rows-only check rather than reporting false mismatches).
+ORACLE_SF_DIR = os.environ.get("OLAF_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
 
 def _cleanup_ann_cache() -> None:
     import shutil
@@ -1124,12 +1133,10 @@ def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_ann_batch_topk() -> str | None:
     """DuckDB twin of q_ann_batch_topk: per-query probe-signature literals
-    (driver-side numpy over the sf0.01 query vectors — the same call the
-    Spark path makes), corpus signatures recomputed via the bit-identical
-    left-assoc band arithmetic."""
-    import os
-
-    emb_path = "/root/testdata/sf0.01/embeddings.parquet"
+    (driver-side numpy over ORACLE_SF_DIR's query vectors — the same call
+    the Spark path makes), corpus signatures recomputed via the
+    bit-identical left-assoc band arithmetic."""
+    emb_path = os.path.join(ORACLE_SF_DIR, "embeddings.parquet")
     if not os.path.exists(emb_path):
         return None
     import pyarrow.parquet as pq
@@ -1173,12 +1180,11 @@ def _sql_ann_lsh_topk() -> str | None:
     row via the bit-identical left-assoc dot twins (lsh_band_sql — the same
     arithmetic the materialized index's sig partitions were built with);
     the multi-probe set is computed DRIVER-SIDE from the deterministic
-    planes + the sf0.01 query vector (exactly the call ann_topk_indexed
-    makes) and enters as integer literals. The driver compares at sf0.01,
-    so the literals match what the Spark path probes with."""
-    import os
-
-    emb_path = "/root/testdata/sf0.01/embeddings.parquet"
+    planes + ORACLE_SF_DIR's query vector (exactly the call ann_topk_indexed
+    makes) and enters as integer literals. The driver compares at sf0.01 —
+    ORACLE_SF_DIR's default — so the literals match what the Spark path
+    probes with; another comparison sf must set OLAF_ORACLE_SF_DIR."""
+    emb_path = os.path.join(ORACLE_SF_DIR, "embeddings.parquet")
     if not os.path.exists(emb_path):
         return None  # driver-less env: falls back to the rows-only check
     import pyarrow.parquet as pq

@@ -117,7 +117,22 @@ def append_index(
             os.mkdir(delta_dir)  # atomic claim, same as the numbered path
         except FileExistsError:
             if os.path.exists(os.path.join(delta_dir, "stats.json")):
-                return Index.load(delta_dir)  # committed replay: no-op
+                # committed replay: near-no-op — but honor with_positions,
+                # which an earlier run may not have requested (a committed
+                # delta without positional rows makes phrase_topk refuse for
+                # the WHOLE group; 'committed + with_positions=True implies
+                # positions exist' must hold on every return path)
+                committed = Index.load(delta_dir)
+                if with_positions and not os.path.exists(
+                    os.path.join(delta_dir, "positions_meta.json")
+                ):
+                    from olaf_spark.phrase import build_positions
+
+                    build_positions(
+                        spark, new_docs, delta_dir, base.cfg,
+                        text_col=text_col, id_col=id_col, n_buckets=n_buckets,
+                    )
+                return committed
             # uncommitted claim = crashed prior epoch -> resume from lineage
     else:
         n = len(os.listdir(root))  # count ALL entries incl. in-flight claims
@@ -134,6 +149,15 @@ def append_index(
     if with_positions:
         from olaf_spark.phrase import build_positions
 
+        # empty-input guard hoisted above build_positions: its min/max
+        # doc_id collect would die with a bare TypeError on an empty batch,
+        # leaving the claimed delta dir with partial positions state —
+        # surface the same clear refusal build_index gives instead
+        if new_docs.limit(1).count() == 0:
+            raise ValueError(
+                f"refusing to append an empty batch to {base_dir}: "
+                "new_docs has no rows (n_docs=0)"
+            )
         build_positions(
             spark, new_docs, delta_dir, base.cfg,
             text_col=text_col, id_col=id_col, n_buckets=n_buckets,
@@ -726,6 +750,48 @@ def compact_index(
         if _after_group is not None:
             _after_group(g)
     shutil.rmtree(staging_root, ignore_errors=True)
+
+    # carry the positional side index through compaction (Olaf analogue:
+    # t1 timestamps ride every posting through store/merge automatically,
+    # src/olaf_fp_db_writer.c:54-59): positional rows are doc-disjoint
+    # across parts, so the fold is a doc-level header merge with VERBATIM
+    # position-byte copies — phrase serving resumes the moment stats.json
+    # lands, with no manual positions rebuild and no dark window. Runs
+    # before stats.json so the overall commit marker covers it; a resume
+    # that died mid-fold simply re-runs the fold (mode=overwrite).
+    pos_have = [
+        os.path.exists(os.path.join(p.index_dir, "positions_meta.json"))
+        for p in group.parts
+    ]
+    if all(pos_have):
+        from olaf_spark.phrase import compact_positions
+
+        p_t0 = time.time()
+        compact_positions(
+            spark, [p.index_dir for p in group.parts], out_dir,
+            tombstones, cfg, n_merge_tasks=n_merge_tasks,
+        )
+        _write_lineage(
+            [
+                dict(
+                    stage="compact_positions", partition_id=-1,
+                    input_rows=-1, output_rows=-1,
+                    wall_s=time.time() - p_t0, rows_per_s=0.0,
+                    bytes_out=-1, status="done", ts=time.time(),
+                )
+            ],
+            lin_dir,
+        )
+    elif any(pos_have):
+        # phrase serving was ALREADY refusing on this group (a delta lacks
+        # positions) — fold what can't be a complete answer? No: skip, and
+        # say so; build_positions on the compacted index restores service
+        print(
+            f"compact_index: only {sum(pos_have)}/{len(pos_have)} parts carry "
+            "positional rows — positions NOT folded (phrase queries were "
+            "already refusing on this group); run build_positions on "
+            f"{out_dir} to restore phrase serving"
+        )
 
     # chunk ordinals are task-local (a split term emits chunk 0 in several
     # tasks), so count terms/postings via a distinct-term agg, not chunk==0

@@ -457,9 +457,12 @@ class Index:
         import uuid
 
         lock = self._tombstone_path + ".lock"
+        token = uuid.uuid4().hex  # owner identity — release checks it below
         while True:
             try:
-                os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, token.encode("ascii"))
+                os.close(fd)
                 break
             except FileExistsError:
                 try:
@@ -492,10 +495,22 @@ class Index:
             os.replace(tmp, self._tombstone_path)
             self._tombstones = ts
         finally:
+            # release ONLY if the lock is still ours: a holder stalled past
+            # the 30 s lease gets usurped (rename-takeover above), and its
+            # unconditional unlink would delete the USURPER's fresh lock —
+            # letting a third writer into the critical section. The token
+            # check shrinks that breach to the read->unlink instant, which
+            # requires a second full 30 s stall to matter.
             try:
-                os.unlink(lock)
+                with open(lock) as lf:
+                    still_mine = lf.read() == token
             except FileNotFoundError:
-                pass
+                still_mine = False  # usurped and released; nothing to do
+            if still_mine:
+                try:
+                    os.unlink(lock)
+                except FileNotFoundError:
+                    pass
 
     def delete_docs(self, doc_ids: list[int]) -> None:
         """Merge-on-read deletion: doc_ids are tombstoned, not rewritten —

@@ -65,14 +65,18 @@ from olaf_spark.indexer import (
 from olaf_spark.tokenize import tokenize_py, tokens_df
 
 POSITIONS_SCHEMA = (
-    "term_id long, n_docs long, "
+    "term_id long, bucket int, n_docs long, "
     "doc_ids_bin binary, pos_counts_bin binary, pos_bin binary, "
     "pos_offs array<long>"
 )
 
 #: positional layout version; 2 = per-doc byte offsets (lazy candidate
-#: decode). Checked at read so a stale layout fails loudly.
-POSITIONS_FORMAT_VERSION = 2
+#: decode); 3 = v2 + the doc-range bucket as an explicit column (the
+#: co-location key of the distributed batch phrase path — all terms of the
+#: same doc range group together) + (lo, width) recorded in positions_meta
+#: so compaction can re-bucket folded rows. Checked at read so a stale
+#: layout fails loudly.
+POSITIONS_FORMAT_VERSION = 3
 
 _DEFAULT = EngineConfig()
 
@@ -139,6 +143,7 @@ def _make_pack_positions(lo: int, width: int, n_buckets: int):
         return pd.DataFrame(
             {
                 "term_id": terms[g_rows],
+                "bucket": buckets[g_rows].astype("int32"),
                 "n_docs": n_docs.astype("int64"),
                 "doc_ids_bin": encode_grouped(doc_ids, g_docs, delta=True),
                 "pos_counts_bin": encode_grouped(counts, g_docs, delta=False),
@@ -196,7 +201,204 @@ def build_positions(
     packed.write.mode("overwrite").partitionBy("tb").parquet(pos_dir)
     cfg.save(out_dir)
     with open(os.path.join(out_dir, "positions_meta.json"), "w") as f:
-        json.dump({"n_buckets": n_buckets, "format_version": POSITIONS_FORMAT_VERSION}, f)
+        json.dump(
+            {
+                "n_buckets": n_buckets,
+                "format_version": POSITIONS_FORMAT_VERSION,
+                "lo": lo,
+                "hi": hi,
+                "width": width,
+            },
+            f,
+        )
+    return out_dir
+
+
+def _make_fold_positions(lo: int, width: int, n_buckets: int, ts_sorted):
+    """mapInPandas fn for compaction: each task's slice of positional rows
+    (sorted by term_id, first_doc) -> folded rows under the COMPACTED
+    corpus's bucket layout. Docs are disjoint across parts, and every doc's
+    position run restarts absolute (v2+ layout), so the merge never decodes
+    a position byte: doc headers are re-sorted, tombstoned docs dropped,
+    and each surviving doc's position byte-slice is gathered VERBATIM into
+    the new buffer (one vectorized fancy-index per term). The same
+    doc-range-parallel shape as the postings fold (_compact_chunk): a head
+    term's rows may split across tasks, yielding multiple doc-disjoint
+    output rows per (term, bucket), which the read path already merges."""
+    import pandas as pd
+
+    def _fold_chunk(pdf: pd.DataFrame) -> pd.DataFrame | None:
+        terms = pdf["term_id"].to_numpy(dtype=np.int64)
+        id_bins = pdf["doc_ids_bin"].to_numpy()
+        cnt_bins = pdf["pos_counts_bin"].to_numpy()
+        pos_bins = pdf["pos_bin"].to_numpy()
+        offs_col = pdf["pos_offs"].to_numpy()
+        row_new = np.empty(len(pdf), dtype=bool)
+        row_new[0] = True
+        row_new[1:] = terms[1:] != terms[:-1]
+        row_starts = np.flatnonzero(row_new)
+        row_ends = np.append(row_starts[1:], len(pdf))
+
+        cols = ("term_id", "bucket", "n_docs", "doc_ids_bin",
+                "pos_counts_bin", "pos_bin", "pos_offs")
+        out: dict[str, list] = {c: [] for c in cols}
+        for s, e in zip(row_starts, row_ends):
+            ids_l, cnt_l, starts_l, lens_l, bufs = [], [], [], [], []
+            base = 0
+            for i in range(s, e):
+                ids_r = delta_decode(varbyte_decode(bytes(id_bins[i]))).astype(np.int64)
+                cnt_r = varbyte_decode(bytes(cnt_bins[i])).astype(np.int64)
+                buf_r = bytes(pos_bins[i])
+                offs_r = np.asarray(offs_col[i], dtype=np.int64)
+                ids_l.append(ids_r)
+                cnt_l.append(cnt_r)
+                starts_l.append(offs_r + base)
+                lens_l.append(np.append(offs_r[1:], len(buf_r)) - offs_r)
+                bufs.append(buf_r)
+                base += len(buf_r)
+            ids = np.concatenate(ids_l)
+            cnts = np.concatenate(cnt_l)
+            starts = np.concatenate(starts_l)
+            lens = np.concatenate(lens_l)
+            big = b"".join(bufs)
+            order = np.argsort(ids, kind="stable")
+            if ts_sorted is not None and ts_sorted.size:
+                at = np.searchsorted(ts_sorted, ids[order])
+                dead = (at < ts_sorted.size) & (
+                    ts_sorted[np.minimum(at, ts_sorted.size - 1)] == ids[order]
+                )
+                order = order[~dead]
+            if order.size == 0:
+                continue  # every posting of this term slice tombstoned away
+            ids_f = ids[order]
+            cnts_f = cnts[order]
+            lens_f = lens[order]
+            gat = _ranges_gather_index(starts[order], lens_f)
+            new_buf = np.frombuffer(big, dtype=np.uint8)[gat].tobytes()
+            doc_offs = np.concatenate([[0], np.cumsum(lens_f)[:-1]]).astype(np.int64)
+            buckets = bucket_of_np(ids_f, lo, width, n_buckets)
+            b_new = np.empty(ids_f.size, dtype=bool)
+            b_new[0] = True
+            b_new[1:] = buckets[1:] != buckets[:-1]
+            g_docs = np.flatnonzero(b_new)  # doc-space group starts
+            g_ends = np.append(g_docs[1:], ids_f.size)
+            g_bytes = doc_offs[g_docs]
+            g_byte_ends = np.append(g_bytes[1:], len(new_buf))
+            out["term_id"].extend([int(terms[s])] * g_docs.size)
+            out["bucket"].extend(buckets[g_docs].tolist())
+            out["n_docs"].extend((g_ends - g_docs).tolist())
+            out["doc_ids_bin"].extend(
+                encode_grouped(ids_f.astype(np.uint64), g_docs, delta=True)
+            )
+            out["pos_counts_bin"].extend(
+                encode_grouped(cnts_f.astype(np.uint64), g_docs, delta=False)
+            )
+            out["pos_bin"].extend(
+                new_buf[int(a):int(b)] for a, b in zip(g_bytes, g_byte_ends)
+            )
+            group_of_doc = np.searchsorted(g_docs, np.arange(ids_f.size), side="right") - 1
+            rel = doc_offs - g_bytes[group_of_doc]
+            out["pos_offs"].extend(a.tolist() for a in np.split(rel, g_docs[1:]))
+        if not out["term_id"]:
+            return None
+        return pd.DataFrame(
+            {
+                "term_id": np.asarray(out["term_id"], dtype=np.int64),
+                "bucket": np.asarray(out["bucket"], dtype=np.int32),
+                "n_docs": np.asarray(out["n_docs"], dtype=np.int64),
+                "doc_ids_bin": out["doc_ids_bin"],
+                "pos_counts_bin": out["pos_counts_bin"],
+                "pos_bin": out["pos_bin"],
+                "pos_offs": out["pos_offs"],
+            }
+        )
+
+    def _fold(pdf_iter):
+        for pdf in _iter_term_chunks(pdf_iter):
+            res = _fold_chunk(pdf)
+            if res is not None:
+                yield res
+
+    return _fold
+
+
+def compact_positions(
+    spark: SparkSession,
+    part_dirs: list[str],
+    out_dir: str,
+    tombstones: set[int],
+    cfg: EngineConfig,
+    n_merge_tasks: int | None = None,
+) -> str:
+    """Fold every part's positional rows into <out_dir>/positions — the
+    phrase twin of compact_index's postings fold, so phrase serving resumes
+    the moment the compacted index commits (no manual positions rebuild;
+    reference analogue: Olaf's t1 timestamps live INSIDE every packed
+    posting and ride each store/merge automatically,
+    src/olaf_fp_db_writer.c:54-59, src/olaf_fp_db_writer_cache.c:92-114).
+
+    One Spark job, doc-range parallel via the same (tb, term_id, first_doc)
+    range shuffle as the postings fold; tombstoned docs are physically
+    dropped using the SAME snapshot the postings fold used. positions_meta
+    lands LAST (tmp + rename) — the fold either completed or phrase_topk
+    still refuses loudly."""
+    import json
+
+    metas = []
+    for d in part_dirs:
+        with open(os.path.join(d, "positions_meta.json")) as f:
+            meta = json.load(f)
+        found = meta.get("format_version", 1)
+        if found != POSITIONS_FORMAT_VERSION:
+            raise ValueError(
+                f"positions at {d} are format v{found}; compaction folds "
+                f"v{POSITIONS_FORMAT_VERSION} — rebuild with build_positions"
+            )
+        metas.append(meta)
+    lo = min(m["lo"] for m in metas)
+    hi = max(m["hi"] for m in metas)
+    n_buckets = max(m["n_buckets"] for m in metas)
+    width = max(1, (hi - lo) // n_buckets + 1)
+    ts_sorted = (
+        np.asarray(sorted(tombstones), dtype=np.int64) if tombstones else None
+    )
+
+    from olaf_spark.incremental import _first_doc_udf
+
+    rows = None
+    for d in part_dirs:
+        r = spark.read.parquet(os.path.join(d, "positions"))
+        rows = r if rows is None else rows.unionByName(r)
+    if n_merge_tasks is None:
+        n_merge_tasks = max(cfg.n_segments, 128)
+    folded = (
+        rows.select(
+            "term_id", "doc_ids_bin", "pos_counts_bin", "pos_bin", "pos_offs", "tb"
+        )
+        .withColumn("first_doc", _first_doc_udf()(F.col("doc_ids_bin")))
+        .repartitionByRange(n_merge_tasks, "tb", "term_id", "first_doc")
+        .sortWithinPartitions("term_id", "first_doc")
+        .mapInPandas(
+            _make_fold_positions(lo, width, n_buckets, ts_sorted), POSITIONS_SCHEMA
+        )
+        .withColumn("tb", shard_from_id_col(F.col("term_id"), cfg.n_segments))
+    )
+    folded.write.mode("overwrite").partitionBy("tb").parquet(
+        os.path.join(out_dir, "positions")
+    )
+    meta_tmp = os.path.join(out_dir, "positions_meta.json.tmp")
+    with open(meta_tmp, "w") as f:
+        json.dump(
+            {
+                "n_buckets": n_buckets,
+                "format_version": POSITIONS_FORMAT_VERSION,
+                "lo": lo,
+                "hi": hi,
+                "width": width,
+            },
+            f,
+        )
+    os.replace(meta_tmp, os.path.join(out_dir, "positions_meta.json"))
     return out_dir
 
 
@@ -231,17 +433,36 @@ def _fetch_term_rows(dataset, term_ids: list[int], n_segments: int) -> dict[int,
     return per
 
 
+def _ranges_gather_index(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Fancy-index array selecting the concatenation of [start, start+len)
+    byte ranges — the vectorized twin of a per-range Python slice loop.
+    Built as a cumsum of unit steps with a jump at every range boundary."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = starts + lens
+    gat = np.ones(total, dtype=np.int64)
+    gat[0] = starts[0]
+    cl = np.cumsum(lens)
+    gat[cl[:-1]] = starts[1:] - ends[:-1] + 1
+    return np.cumsum(gat)
+
+
 def _positions_for_docs(
     row: dict, keep: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(kept doc_ids, kept counts, kept positions).
 
-    HYBRID decode — the same lesson as the blocked posting codec: per-run
-    Python decode calls only pay when the kept set is SPARSE. A selective
-    phrase (rare partner term) keeps a few hundred scattered docs -> slice
-    + decode only their byte ranges as contiguous runs; a dense keep (both
-    terms common) would shatter into tens of thousands of tiny runs, so
-    decode the whole buffer once and mask instead.
+    VECTORIZED SCATTERED DECODE: every doc's position run restarts absolute
+    and its byte extent is known (pos_offs), so the kept docs' byte ranges
+    are gathered with ONE fancy-index into one contiguous buffer and
+    decoded with ONE varbyte_decode call — O(selected bytes), regardless of
+    how scattered the kept set is. This replaced the round-3 hybrid (per-run
+    Python decode calls, measured 4x slower when the kept set shattered into
+    thousands of runs, falling back to an O(total bytes) full decode when
+    dense): the head-head dense case now decodes only candidate docs' bytes.
+    A nearly-full keep skips the gather (full decode + mask is cheaper than
+    building an index covering ~everything).
     """
     idx = np.flatnonzero(keep)
     if idx.size == 0:
@@ -249,20 +470,18 @@ def _positions_for_docs(
         return e, e, np.empty(0, dtype=np.uint64)
     ids, counts, buf, offs = row["ids"], row["counts"], row["buf"], row["offs"]
     n = ids.size
-    cuts = np.flatnonzero(np.diff(idx) > 1) + 1
-    n_runs = cuts.size + 1
-    if idx.size * 4 > n or n_runs > 4096:
-        # dense: one full decode + occurrence mask beats run shattering
+    if idx.size * 1.25 >= n:
         pos_all = _seg_cumsum(varbyte_decode(buf), counts)
         occ_keep = np.repeat(keep, counts)
         return ids[idx], counts[idx], pos_all[occ_keep]
-    pos_l = []
-    for run in np.split(idx, cuts):
-        i0, i1 = int(run[0]), int(run[-1]) + 1
-        lo = int(offs[i0])
-        hi = int(offs[i1]) if i1 < n else len(buf)
-        pos_l.append(_seg_cumsum(varbyte_decode(buf[lo:hi]), counts[i0:i1]))
-    return ids[idx], counts[idx], np.concatenate(pos_l)
+    starts = offs[idx]
+    ends = np.empty(idx.size, dtype=np.int64)
+    interior = idx < (n - 1)
+    ends[interior] = offs[idx[interior] + 1]
+    ends[~interior] = len(buf)
+    gat = _ranges_gather_index(starts, ends - starts)
+    sel = np.frombuffer(buf, dtype=np.uint8)[gat]
+    return ids[idx], counts[idx], _seg_cumsum(varbyte_decode(sel.tobytes()), counts[idx])
 
 
 def phrase_topk(
@@ -270,11 +489,16 @@ def phrase_topk(
     phrase: str,
     k: int = 10,
     cfg: EngineConfig | None = None,
+    _stats: dict | None = None,
 ) -> list[tuple[int, int]]:
     """Top-k (doc_id, phrase_tf) of docs containing the EXACT token
     sequence; ties break doc_id ascending. Fully vectorized verification:
     term i contributes keys (doc_ordinal, pos - i); the intersection across
-    all terms is the set of phrase start positions.
+    all terms is the set of phrase start positions. Candidates are scanned
+    in descending min-term-tf order with WAND-style early termination, so a
+    head-head phrase stops after the high-bound chunks instead of decoding
+    every co-occurring doc (_stats, if given, receives n_candidates /
+    n_decoded for tests and benchmarks).
     """
     import json
 
@@ -350,8 +574,74 @@ def phrase_topk(
     if cand.size == 0:
         return []
 
-    # decode ONLY candidate docs' positions, ONCE per UNIQUE term (a
-    # repeated phrase term reuses its decode; only the adjustment differs)
+    # ---- phrase-tf upper bound per candidate, from the CHEAP headers ----
+    # ub(doc) = min over distinct phrase terms of the doc's tf for that term
+    # — a phrase can't occur more often than its rarest member term. The
+    # text twin of a WAND bound (wand.py cites the same literature):
+    # candidates are processed in descending-ub chunks and the scan STOPS
+    # once the running kth phrase_tf (theta) can no longer be beaten or
+    # tied. Ties still settle by doc_id, so chunks whose max ub EQUALS
+    # theta are still processed; only strictly-worse chunks are skipped.
+    # This is what caps the head-head worst case: two corpus-frequent terms
+    # yield a dense candidate set, but the final top-k concentrates in the
+    # high-min-tf head of the ub order, so the tail never decodes a byte.
+    ub = None
+    for t in dict.fromkeys(tids):
+        c = np.zeros(cand.size, dtype=np.int64)
+        for row in data[t]:
+            ids_r = row["ids"]
+            at = np.searchsorted(ids_r, cand)
+            ok = (at < ids_r.size) & (ids_r[np.minimum(at, ids_r.size - 1)] == cand)
+            c[ok] += row["counts"][at[ok]]
+        ub = c if ub is None else np.minimum(ub, c)
+    order = np.argsort(-ub, kind="stable")
+
+    chunk = 8192
+    res_docs: list[np.ndarray] = []
+    res_tfs: list[np.ndarray] = []
+    n_res = 0
+    theta = 1  # a doc needs >= 1 phrase occurrence to appear at all
+    n_decoded = 0
+    for c0 in range(0, cand.size, chunk):
+        if n_res >= k and int(ub[order[c0]]) < theta:
+            break
+        sub = np.sort(cand[order[c0 : c0 + chunk]])
+        n_decoded += sub.size
+        docs_c, tfs_c = _phrase_tfs(sub, data, tids, len(qterms))
+        if docs_c.size:
+            res_docs.append(docs_c)
+            res_tfs.append(tfs_c)
+            n_res += docs_c.size
+            if n_res >= k:
+                all_tfs = res_tfs[0] if len(res_tfs) == 1 else np.concatenate(res_tfs)
+                theta = int(np.partition(all_tfs, n_res - k)[n_res - k])
+    if _stats is not None:
+        _stats["n_candidates"] = int(cand.size)
+        _stats["n_decoded"] = int(n_decoded)
+    if not res_docs:
+        return []
+    doc_ids = np.concatenate(res_docs)
+    tfs = np.concatenate(res_tfs)
+    n = doc_ids.size
+    if n > k:
+        kth = np.partition(tfs, n - k)[n - k]
+        sel = np.flatnonzero(tfs >= kth)
+        pick = sel[np.lexsort((doc_ids[sel], -tfs[sel]))[:k]]
+    else:
+        pick = np.lexsort((doc_ids, -tfs))[:k]
+    return [(int(doc_ids[i]), int(tfs[i])) for i in pick]
+
+
+def _phrase_tfs(
+    cand: np.ndarray, data: dict[int, list[dict]], tids: list[int], n_terms: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_ids, phrase_tfs) over a SORTED candidate subset — decodes only
+    these candidates' position bytes (scattered-gather), verifies adjacency
+    fully vectorized via packed (doc_ordinal, pos - i) key intersection.
+    Shared by the serving path's chunk loop and the batch verify stage."""
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    # decode ONCE per UNIQUE term (a repeated phrase term reuses its decode;
+    # only the position adjustment differs)
     decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}  # (doc_ord, pos)
     max_pos = 0
     for t in dict.fromkeys(tids):
@@ -367,35 +657,25 @@ def phrase_topk(
             ords_l.append(np.repeat(np.searchsorted(cand, kids), kcounts))
             pos_l.append(kpos.astype(np.int64))
         if not ords_l:
-            return []
+            return empty
         ords = np.concatenate(ords_l)
         pos = np.concatenate(pos_l)
         if pos.size:
             max_pos = max(max_pos, int(pos.max()))
         decoded[t] = (ords, pos)
-    per_term = [decoded[t] for t in tids]
 
     # (doc ordinal, adjusted position) packed into one int64 key; positions
-    # are bounded per doc, so M = max_pos + len(phrase) + 2 makes the
-    # packing collision-free and ordinals keep the product in int64 range
-    M = max_pos + len(qterms) + 2
+    # are bounded per doc, so M = max_pos + n_terms + 2 makes the packing
+    # collision-free and ordinals keep the product in int64 range
+    M = max_pos + n_terms + 2
     keys = None
-    for i, (ords, pos) in enumerate(per_term):
+    for i, t in enumerate(tids):
+        ords, pos = decoded[t]
         adj = pos - i
         valid = adj >= 0
         kk = ords[valid] * M + adj[valid]
         keys = kk if keys is None else np.intersect1d(keys, kk)
         if keys.size == 0:
-            return []
-
+            return empty
     ords, tfs = np.unique(keys // M, return_counts=True)
-    doc_ids = cand[ords]
-    n = doc_ids.size
-    if n > k:
-        kth = np.partition(tfs, n - k)[n - k]
-        sel = np.flatnonzero(tfs >= kth)
-        order = np.lexsort((doc_ids[sel], -tfs[sel]))[:k]
-        pick = sel[order]
-    else:
-        pick = np.lexsort((doc_ids, -tfs))[:k]
-    return [(int(doc_ids[i]), int(tfs[i])) for i in pick]
+    return cand[ords], tfs.astype(np.int64)

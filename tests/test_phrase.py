@@ -147,6 +147,37 @@ def test_phrase_respects_tombstones(spark, positional, tmp_path):
     assert phrase_topk(ix_dir, "w2 w3", k=5) == before
 
 
+def test_positions_survive_compaction(spark, positional, tmp_path):
+    """Compaction folds the positional side index in the same job (r4):
+    phrase queries answer IMMEDIATELY after compact_index — no manual
+    positions rebuild, no dark window — identical to the pre-compact group
+    answer, and tombstoned docs are PHYSICALLY dropped from the folded
+    rows (the compacted index starts with an empty tombstone set, so their
+    absence proves the drop)."""
+    from olaf_spark.incremental import append_index, compact_index
+    from olaf_spark.indexer import Index, build_index
+
+    rows, _ = positional
+    pages = spark.createDataFrame(rows, "doc_id long, text string")
+    base = str(tmp_path / "pc")
+    build_index(spark, pages.where("doc_id % 2 = 0"), base, CFG, n_buckets=4)
+    build_positions(spark, pages.where("doc_id % 2 = 0"), base, CFG, n_buckets=4)
+    append_index(
+        spark, pages.where("doc_id % 2 = 1"), base, n_buckets=4, with_positions=True
+    )
+    before = phrase_topk(base, "w2 w3", k=10)
+    assert before
+    victim = before[0][0]
+    Index.load(base).delete_docs([victim])
+    want = {p: phrase_topk(base, p, k=10) for p in ("w2 w3", "w3 w2 w2", "w5")}
+    out = str(tmp_path / "pc_out")
+    compact_index(spark, base, out, n_groups=2)
+    for p, w in want.items():
+        got = phrase_topk(out, p, k=10)
+        assert got == w, (p, got[:3], w[:3])
+        assert all(d != victim for d, _ in got)
+
+
 def test_positions_survive_small_arrow_batches(spark, positional, tmp_path):
     """Pack correctness independent of Arrow batch slicing (the
     _iter_term_chunks carry path)."""
