@@ -146,6 +146,27 @@ def main() -> None:
             plat.append((time.perf_counter() - t0) * 1000)
         plat.sort()
 
+        # head-head phrase: BOTH terms corpus-frequent — round 3's worst
+        # case (full position-buffer decode); now bounded by ub-ordered
+        # early termination + scattered-gather decode
+        hlat = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            phrase_topk(pdir, "table hash", k=10)
+            hlat.append((time.perf_counter() - t0) * 1000)
+        hlat.sort()
+
+        # distributed batch phrase: 64 phrases as ONE Spark job
+        from olaf_spark.phrase import batch_phrase_topk
+
+        pool = ["slow hash batch", "table hash", "merge group", "part filter"]
+        pbatch = [(i, pool[i % len(pool)]) for i in range(64)]
+        t0 = time.perf_counter()
+        batch_phrase_topk(spark, pdir, pbatch, k=10).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        phrase_batch64_s = round(time.perf_counter() - t0, 3)
+
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     spark.stop()
 
@@ -170,6 +191,9 @@ def main() -> None:
         "group_serve_p95_ms": round(glat[int(len(glat) * 0.95)], 2),
         "positions_build_s": pos_build_s,
         "phrase_serve_p50_ms": round(plat[len(plat) // 2], 2),
+        "phrase_headhead_p50_ms": round(hlat[len(hlat) // 2], 2),
+        "phrase_batch64_s": phrase_batch64_s,
+        "phrase_batch_queries_per_s": round(64 / phrase_batch64_s, 1) if phrase_batch64_s > 0 else None,
         "parallelism": cpus,
     }
     print(json.dumps(out))

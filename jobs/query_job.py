@@ -29,6 +29,7 @@ import argparse
 import json
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 
 def main() -> None:
@@ -85,6 +86,26 @@ def main() -> None:
         queries = [line.strip() for line in f if line.strip()]
 
     if args.phrase:
+        if args.method == "distributed":
+            # the whole phrase batch as ONE Spark job (batch_phrase_topk):
+            # broadcast subscription fan-out over the positional rows,
+            # adjacency verify per (query, part, bucket) group — per-query
+            # answers identical to the serving loop below
+            from olaf_spark.phrase import batch_phrase_topk
+
+            out_df = batch_phrase_topk(
+                spark, args.index, list(enumerate(queries)), k=args.k, cfg=index.cfg
+            ).select(
+                "query_id", "rank", "doc_id",
+                F.col("phrase_tf").cast("double").alias("score"),
+            )
+            if args.out:
+                out_df.write.mode("overwrite").parquet(args.out)
+            else:
+                for r in out_df.orderBy("query_id", "rank").collect():
+                    print(json.dumps(r.asDict()))
+            spark.stop()
+            return
         from olaf_spark.phrase import phrase_topk
 
         rows = []

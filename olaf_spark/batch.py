@@ -40,20 +40,34 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from olaf_spark.codec import decode_ids_blocked, varbyte_decode
-from olaf_spark.indexer import Index, term_id_py
+from olaf_spark.indexer import Index, term_id_py, tombstone_keep_mask
 from olaf_spark.scorer import idf as idf_fn
 from olaf_spark.tokenize import tokenize_py
 
-PARTIAL_SCHEMA = "query_id long, doc_id long, term string, contrib double"
+PARTIAL_SCHEMA = "query_id long, doc_id long, term_ord int, contrib double"
 
 
-def _subs_for(queries: Iterable[tuple[int, str]], cfg) -> dict[int, list[tuple[int, str]]]:
-    """term_id -> [(query_id, term)] subscription map for a query batch —
-    shared by the single-index and group batch paths."""
-    subs: dict[int, list[tuple[int, str]]] = {}
+def _subs_for(queries: Iterable[tuple[int, str]], cfg) -> dict[int, list[tuple[int, int]]]:
+    """term_id -> [(query_id, term_ord)] subscription map for a query batch
+    — shared by the single-index and group batch paths.
+
+    term_ord is the term's rank in the ASCENDING-STRING order of the
+    batch's distinct terms: folding partials by ordinal reproduces the
+    oracle's ascending-term accumulation order exactly, while the shuffle
+    carries a fixed-width int32 per row instead of the term STRING (which
+    round 3 shipped per (query, doc, term) row purely for sort order —
+    object-dtype strings in every Arrow batch and exchange)."""
+    per_query: dict[int, list[str]] = {}
+    vocab: set[str] = set()
     for qid, text in queries:
-        for term in sorted(set(tokenize_py(text, cfg))):
-            subs.setdefault(term_id_py(term), []).append((int(qid), term))
+        terms = sorted(set(tokenize_py(text, cfg)))
+        per_query[int(qid)] = terms
+        vocab.update(terms)
+    ord_of = {t: i for i, t in enumerate(sorted(vocab))}
+    subs: dict[int, list[tuple[int, int]]] = {}
+    for qid, terms in per_query.items():
+        for term in terms:
+            subs.setdefault(term_id_py(term), []).append((qid, ord_of[term]))
     return subs
 
 
@@ -65,7 +79,7 @@ def _make_score_partials(
     b: float,
     block_size: int,
 ):
-    """mapInPandas fn: posting rows -> (query_id, doc_id, term, contrib).
+    """mapInPandas fn: posting rows -> (query_id, doc_id, term_ord, contrib).
 
     Decode + BM25 contribution happen ONCE per posting row; queries sharing
     a term reuse the same contribution arrays (BM25 term contributions do
@@ -85,7 +99,7 @@ def _make_score_partials(
         for pdf in pdf_iter:
             if not len(pdf):
                 continue
-            out_qid, out_doc, out_term, out_contrib = [], [], [], []
+            out_qid, out_doc, out_ord, out_contrib = [], [], [], []
             terms_np = pdf["term_id"].to_numpy(dtype=np.int64)
             dfs_np = pdf["df"].to_numpy(dtype=np.int64)
             id_bufs = pdf["doc_ids_bin"].to_numpy()
@@ -99,7 +113,7 @@ def _make_score_partials(
                 tfs = varbyte_decode(bytes(tf_bufs[i]))
                 dls = varbyte_decode(bytes(dl_bufs[i]))
                 if ts_arr is not None:
-                    keep = ~np.isin(ids, ts_arr)
+                    keep = tombstone_keep_mask(ids, ts_arr)
                     ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
                 if ids.size == 0:
                     continue
@@ -112,17 +126,17 @@ def _make_score_partials(
                     tfs_f * (k1 + 1.0)
                     / (tfs_f + k1 * (1.0 - b + b * dls_f / avgdl))
                 )
-                for qid, term in subscribers:
+                for qid, term_ord in subscribers:
                     out_qid.append(np.full(ids.size, qid, dtype=np.int64))
                     out_doc.append(ids)
-                    out_term.append(np.full(ids.size, term, dtype=object))
+                    out_ord.append(np.full(ids.size, term_ord, dtype=np.int32))
                     out_contrib.append(contrib)
             if out_qid:
                 yield pd.DataFrame(
                     {
                         "query_id": np.concatenate(out_qid),
                         "doc_id": np.concatenate(out_doc),
-                        "term": np.concatenate(out_term),
+                        "term_ord": np.concatenate(out_ord),
                         "contrib": np.concatenate(out_contrib),
                     }
                 )
@@ -162,8 +176,7 @@ def batch_query_index(
     postings = index.postings(spark).where(
         F.col("tb").isin(tbs) & F.col("term_id").isin(qids_terms)
     )
-    ts = index.tombstones()
-    ts_arr = np.fromiter(ts, dtype=np.int64) if ts else None
+    ts_arr = index.tombstones_arr()  # cached sorted array rides the broadcast
     bsubs = spark.sparkContext.broadcast((subs, ts_arr, None))
     partials = postings.mapInPandas(
         _make_score_partials(
@@ -178,10 +191,11 @@ def batch_query_index(
 def _fold_and_topk(partials: DataFrame, k: int, min_score: float) -> DataFrame:
     """Deterministic ascending-term float64 fold + per-query bounded top-k
     (rank<=k plans as WindowGroupLimit: map-side partial top-k per
-    partition BEFORE the shuffle)."""
+    partition BEFORE the shuffle). Sorting by term_ord IS ascending-term
+    order — the ordinal is defined by it (_subs_for)."""
     scored = partials.groupBy("query_id", "doc_id").agg(
         F.aggregate(
-            F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+            F.array_sort(F.collect_list(F.struct("term_ord", "contrib"))),
             F.lit(0.0).cast("double"),
             lambda acc, x: acc + x["contrib"],
         ).alias("score")
@@ -245,8 +259,7 @@ def batch_query_index_group(
         for tid, df in group.term_dfs(qids_terms).items()
     }
 
-    ts = group.tombstones()
-    ts_arr = np.fromiter(ts, dtype=np.int64) if ts else None
+    ts_arr = group.tombstones_arr()  # sorted union across parts
     bsubs = spark.sparkContext.broadcast((subs, ts_arr, idf_map))
 
     scan = None

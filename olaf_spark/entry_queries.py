@@ -546,12 +546,12 @@ def _cleanup_phrase_cache() -> None:
     _PHRASE_CACHE.clear()
 
 
-def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _get_phrase_dir(spark: SparkSession, sf_dir: str) -> str:
+    """One positional side index per sf_dir, in a temp dir that dies with
+    the process — shared by the serving and batch phrase entries."""
     import atexit
 
-    import pandas as pd
-
-    from olaf_spark.phrase import build_positions, phrase_topk
+    from olaf_spark.phrase import build_positions
 
     if sf_dir not in _PHRASE_CACHE:
         import tempfile
@@ -563,7 +563,15 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, _docs(spark, sf_dir).select("doc_id", "text"), d, CFG, n_buckets=4
         )
         _PHRASE_CACHE[sf_dir] = d
-    hits = phrase_topk(_PHRASE_CACHE[sf_dir], PHRASE_QUERY, k=K)
+    return _PHRASE_CACHE[sf_dir]
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from olaf_spark.phrase import phrase_topk
+
+    hits = phrase_topk(_get_phrase_dir(spark, sf_dir), PHRASE_QUERY, k=K)
     pdf = pd.DataFrame(
         {
             "doc_id": [d_ for d_, _ in hits],
@@ -604,6 +612,64 @@ FROM hits ORDER BY phrase_tf DESC, doc_id ASC LIMIT {k}
 
 
 SQL_PHRASE_MATCH = _sql_phrase(PHRASE_QUERY.split(), K)
+
+# batch phrase: B phrases answered by ONE Spark job over the positional rows
+# (olaf_spark/phrase.batch_phrase_topk — fan-out on a broadcast subscription
+# map, adjacency verify per (query, part, bucket) group, WindowGroupLimit
+# top-k; the phrase twin of bm25_batch_distributed). Includes the serving
+# query, a head-head pair, and a repeated-term phrase — all present at
+# sf0.01 (checked against the driver corpus).
+PHRASE_BATCH = [(0, PHRASE_QUERY), (1, "table hash"), (2, "table table")]
+
+
+def q_phrase_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olaf_spark.phrase import batch_phrase_topk
+
+    return batch_phrase_topk(spark, _get_phrase_dir(spark, sf_dir), PHRASE_BATCH, k=K)
+
+
+def _sql_phrase_batch(queries: list[tuple[int, str]], k: int) -> str:
+    """UNION ALL of per-phrase hit blocks over ONE tokpos CTE, ranked per
+    query — the oracle twin of batch_phrase_topk (same shape SQL_BM25_BATCH
+    takes for the BM25 batch)."""
+    blocks = []
+    for qid, text in queries:
+        terms = text.split()
+        joins = "\n  ".join(
+            f"JOIN tokpos t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.pos = t0.pos + {i} "
+            f"AND t{i}.term = '{t}'"
+            for i, t in enumerate(terms[1:], start=1)
+        )
+        blocks.append(
+            f"""  SELECT {qid}::BIGINT AS query_id, t0.doc_id, count(*)::BIGINT AS phrase_tf
+  FROM tokpos t0
+  {joins}
+  WHERE t0.term = '{terms[0]}'
+  GROUP BY t0.doc_id"""
+        )
+    hits = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH tokpos AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) - 1 AS pos
+  FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                       t -> t <> '' AND len(t) <= 64) AS arr
+    FROM documents
+  )
+),
+hits AS (
+{hits}
+)
+SELECT query_id, doc_id, phrase_tf, rank FROM (
+  SELECT query_id, doc_id, phrase_tf,
+         row_number() OVER (PARTITION BY query_id ORDER BY phrase_tf DESC, doc_id ASC)::BIGINT AS rank
+  FROM hits
+) WHERE rank <= {k}
+"""
+
+
+SQL_PHRASE_BATCH = _sql_phrase_batch(PHRASE_BATCH, K)
 
 
 # --------------------------------------------------------------------------
@@ -1387,6 +1453,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_incremental": q_bm25_incremental,
     "fragment_windows": q_fragment_windows,
     "phrase_match": q_phrase_match,
+    "phrase_batch": q_phrase_batch,
     "result_meta_join": q_result_meta_join,
     "extract_roundtrip": q_extract_roundtrip,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1432,6 +1499,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_incremental": SQL_BM25_TOPK,
     "fragment_windows": SQL_FRAGMENT_WINDOWS,
     "phrase_match": SQL_PHRASE_MATCH,
+    "phrase_batch": SQL_PHRASE_BATCH,
     "result_meta_join": SQL_RESULT_META_JOIN,
     "extract_roundtrip": SQL_EXTRACT_ROUNDTRIP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,

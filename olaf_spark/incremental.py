@@ -57,7 +57,9 @@ from olaf_spark.indexer import (
     _iter_term_chunks,
     build_index,
     shard_from_id_col,
+    sorted_tombstone_arr,
     term_id_py,
+    tombstone_keep_mask,
 )
 from olaf_spark.scorer import idf as idf_fn
 from olaf_spark.tokenize import tokenize_py
@@ -197,6 +199,19 @@ class IndexGroup:
             out |= p.tombstones()
         return out
 
+    def tombstones_arr(self) -> np.ndarray | None:
+        """Sorted union of every part's cached tombstone array (the scale
+        filter path — see Index.tombstones_arr); None when no deletes."""
+        arrs = [a for a in (p.tombstones_arr() for p in self.parts) if a is not None]
+        if not arrs:
+            return None
+        if len(arrs) == 1:
+            return arrs[0]
+        out = arrs[0]
+        for a in arrs[1:]:
+            out = np.union1d(out, a)
+        return out
+
     def delete_docs(self, doc_ids: list[int]) -> None:
         # a doc lives in exactly one part but WHICH is not tracked; the
         # group tombstones on the main part and applies the union at read
@@ -294,8 +309,7 @@ class IndexGroup:
             per_term.setdefault(term, []).append(r)
         cfg = self.cfg
 
-        ts = self.tombstones()
-        ts_arr = np.fromiter(ts, dtype=np.int64) if ts else None
+        ts_arr = self.tombstones_arr()
         out: list[TermPostings] = []
         for term in sorted(per_term):
             rows = per_term[term]
@@ -310,7 +324,7 @@ class IndexGroup:
             tfs_f = np.concatenate(tfs_l).astype(np.float64)
             dls_f = np.concatenate(dls_l).astype(np.float64)
             if ts_arr is not None:
-                keep = ~np.isin(ids, ts_arr)
+                keep = tombstone_keep_mask(ids, ts_arr)
                 ids, tfs_f, dls_f = ids[keep], tfs_f[keep], dls_f[keep]
             scores = w * (
                 tfs_f * (cfg.k1 + 1.0)
@@ -397,7 +411,7 @@ class IndexGroup:
         if method == "blockmax":
             return blockmax_topk(
                 self.load_term_postings_raw(query_text),
-                k, self.cfg, self.avgdl, self.tombstones(), min_score,
+                k, self.cfg, self.avgdl, self.tombstones_arr(), min_score,
                 stats_out=_prune_stats,
             )
         hits = vectorized_topk(self.load_term_postings(query_text), k)
@@ -408,7 +422,7 @@ class IndexGroup:
 
 def _make_compact_fn(n_docs: int, avgdl: float, cfg: EngineConfig, tombstones: set[int]):
     k1, b, block_size = cfg.k1, cfg.b, cfg.block_size
-    ts_arr = np.fromiter(tombstones, dtype=np.int64) if tombstones else None
+    ts_arr = sorted_tombstone_arr(tombstones)
 
     def _compact_stream(pdf_iter):
         """One range-partitioned slice of posting rows -> merged chunk rows.
@@ -463,7 +477,7 @@ def _make_compact_fn(n_docs: int, avgdl: float, cfg: EngineConfig, tombstones: s
             order = np.argsort(ids, kind="stable")
             ids, tfs, dls = ids[order], tfs[order], dls[order]
             if ts_arr is not None:
-                keep = ~np.isin(ids, ts_arr)
+                keep = tombstone_keep_mask(ids, ts_arr)
                 ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
             if ids.size == 0:
                 continue

@@ -370,6 +370,7 @@ class Index:
         self.stats = stats
         self._dataset = None
         self._tombstones: set[int] | None = None
+        self._tombstones_arr: np.ndarray | None = None
 
     def dataset(self):
         """Cached pyarrow dataset over the postings dir — the serving path
@@ -388,6 +389,7 @@ class Index:
     def invalidate_caches(self) -> None:
         self._dataset = None
         self._tombstones = None
+        self._tombstones_arr = None
 
     @property
     def n_docs(self) -> int:
@@ -442,75 +444,21 @@ class Index:
             self._tombstones = self._read_tombstones_disk()
         return self._tombstones
 
-    def _mutate_tombstones(self, fn) -> None:
-        """Serialized read-modify-write under an O_EXCL lockfile (Olaf's
-        LMDB writer mutex, olaf_db.c:28-37, scaled down to a maintenance
-        op): the re-read happens INSIDE the lock, so two racing
-        delete/undelete calls truly converge on the union of their intents
-        — not just "each write is atomic" (tmp + os.replace additionally
-        guarantees a crash mid-write leaves the previous file intact). A
-        crashed holder's lock is taken over after 30 s by mtime. Advisory
-        and same-filesystem; O_EXCL is not reliable on NFSv2 — route
-        cross-host deletes through one maintenance process.
-        """
-        import time as _time
-        import uuid
+    def tombstones_arr(self) -> np.ndarray | None:
+        """SORTED int64 tombstone array for the scorers' filter path,
+        cached on the instance (None when empty). At millions of deletes
+        the set/JSON path costs a full JSON int parse per load plus an
+        np.fromiter + isin re-sort per query; this reads the parquet
+        sidecar (columnar, already sorted) once and every query filters
+        with one searchsorted (tombstone_keep_mask)."""
+        if self._tombstones_arr is None:
+            self._tombstones_arr = read_tombstones_arr(self.index_dir)
+        return self._tombstones_arr if self._tombstones_arr.size else None
 
-        lock = self._tombstone_path + ".lock"
-        token = uuid.uuid4().hex  # owner identity — release checks it below
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, token.encode("ascii"))
-                os.close(fd)
-                break
-            except FileExistsError:
-                try:
-                    if _time.time() - os.path.getmtime(lock) > 30.0:
-                        # stale lock from a crashed holder. Takeover must be
-                        # ATOMIC: rename-away first — only ONE waiter's
-                        # rename of the same source succeeds, so a second
-                        # waiter can never unlink the winner's freshly
-                        # re-acquired lock (the unlink-based takeover's
-                        # TOCTOU). A live holder slower than 30 s can still
-                        # be usurped — that is the documented mtime-lease
-                        # trade-off of any crash-recoverable file lock.
-                        stale = f"{lock}.stale.{uuid.uuid4().hex}"
-                        try:
-                            os.rename(lock, stale)
-                            os.unlink(stale)
-                        except FileNotFoundError:
-                            pass  # another waiter won the takeover race
-                        continue
-                except FileNotFoundError:
-                    continue  # holder just released; retry immediately
-                _time.sleep(0.01)
-        try:
-            ts = fn(self._read_tombstones_disk())
-            tmp = f"{self._tombstone_path}.tmp.{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                json.dump(sorted(ts), f)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, self._tombstone_path)
-            self._tombstones = ts
-        finally:
-            # release ONLY if the lock is still ours: a holder stalled past
-            # the 30 s lease gets usurped (rename-takeover above), and its
-            # unconditional unlink would delete the USURPER's fresh lock —
-            # letting a third writer into the critical section. The token
-            # check shrinks that breach to the read->unlink instant, which
-            # requires a second full 30 s stall to matter.
-            try:
-                with open(lock) as lf:
-                    still_mine = lf.read() == token
-            except FileNotFoundError:
-                still_mine = False  # usurped and released; nothing to do
-            if still_mine:
-                try:
-                    os.unlink(lock)
-                except FileNotFoundError:
-                    pass
+    def _mutate_tombstones(self, fn) -> None:
+        ts = locked_mutate_id_set(self._tombstone_path, fn)
+        self._tombstones = ts
+        self._tombstones_arr = np.asarray(sorted(ts), dtype=np.int64)
 
     def delete_docs(self, doc_ids: list[int]) -> None:
         """Merge-on-read deletion: doc_ids are tombstoned, not rewritten —
@@ -524,6 +472,140 @@ class Index:
         """Restore previously deleted docs (Olaf's re-store restores counts,
         tests/olaf_functional_tests.zig:462-560 analogue)."""
         self._mutate_tombstones(lambda ts: ts - {int(d) for d in doc_ids})
+
+
+def locked_mutate_id_set(path: str, fn) -> set[int]:
+    """Serialized read-modify-write of a JSON int-set file under an O_EXCL
+    lockfile (Olaf's LMDB writer mutex, olaf_db.c:28-37, scaled down to a
+    maintenance op): the re-read happens INSIDE the lock, so two racing
+    delete/undelete calls truly converge on the union of their intents —
+    not just "each write is atomic" (tmp + os.replace additionally
+    guarantees a crash mid-write leaves the previous file intact). A
+    crashed holder's lock is taken over after 30 s by mtime. Advisory and
+    same-filesystem; O_EXCL is not reliable on NFSv2 — route cross-host
+    deletes through one maintenance process. Shared by the text index's
+    doc tombstones and the ANN index's vector tombstones.
+    """
+    import time as _time
+    import uuid
+
+    lock = path + ".lock"
+    token = uuid.uuid4().hex  # owner identity — release checks it below
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, token.encode("ascii"))
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                if _time.time() - os.path.getmtime(lock) > 30.0:
+                    # stale lock from a crashed holder. Takeover must be
+                    # ATOMIC: rename-away first — only ONE waiter's rename
+                    # of the same source succeeds, so a second waiter can
+                    # never unlink the winner's freshly re-acquired lock
+                    # (the unlink-based takeover's TOCTOU). A live holder
+                    # slower than 30 s can still be usurped — that is the
+                    # documented mtime-lease trade-off of any
+                    # crash-recoverable file lock.
+                    stale = f"{lock}.stale.{uuid.uuid4().hex}"
+                    try:
+                        os.rename(lock, stale)
+                        os.unlink(stale)
+                    except FileNotFoundError:
+                        pass  # another waiter won the takeover race
+                    continue
+            except FileNotFoundError:
+                continue  # holder just released; retry immediately
+            _time.sleep(0.01)
+    try:
+        try:
+            with open(path) as f:
+                cur = set(json.load(f))
+        except FileNotFoundError:
+            cur = set()
+        out = fn(cur)
+        srt = sorted(out)
+        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(srt, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        # parquet SIDECAR — the scale read path: a sorted int64 column loads
+        # without parsing a JSON list of millions of ints (read_tombstones_arr
+        # prefers it when at least as fresh as the json). Written INSIDE the
+        # lock, AFTER the json (which stays the compat source of truth), via
+        # the same tmp+rename commit.
+        import numpy as _np
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        side = os.path.splitext(path)[0] + ".parquet"
+        tmp2 = f"{side}.tmp.{uuid.uuid4().hex}"
+        _pq.write_table(
+            _pa.table({"doc_id": _np.asarray(srt, dtype=_np.int64)}), tmp2
+        )
+        os.replace(tmp2, side)
+        return out
+    finally:
+        # release ONLY if the lock is still ours: a holder stalled past the
+        # 30 s lease gets usurped (rename-takeover above), and its
+        # unconditional unlink would delete the USURPER's fresh lock —
+        # letting a third writer into the critical section. The token check
+        # shrinks that breach to the read->unlink instant, which requires a
+        # second full 30 s stall to matter.
+        try:
+            with open(lock) as lf:
+                still_mine = lf.read() == token
+        except FileNotFoundError:
+            still_mine = False  # usurped and released; nothing to do
+        if still_mine:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+
+
+def read_tombstones_arr(index_dir: str) -> np.ndarray:
+    """Sorted int64 tombstone array for an index dir (empty array when no
+    deletes). Prefers the parquet sidecar when it is at least as fresh as
+    tombstones.json (a json written by hand or an older engine wins over a
+    stale sidecar); both forms are written sorted."""
+    jp = os.path.join(index_dir, "tombstones.json")
+    pp = os.path.join(index_dir, "tombstones.parquet")
+    try:
+        j_m = os.path.getmtime(jp)
+    except FileNotFoundError:
+        return np.empty(0, dtype=np.int64)
+    if os.path.exists(pp) and os.path.getmtime(pp) >= j_m:
+        import pyarrow.parquet as pq
+
+        return pq.read_table(pp)["doc_id"].to_numpy().astype(np.int64)
+    with open(jp) as f:
+        return np.asarray(json.load(f), dtype=np.int64)
+
+
+def sorted_tombstone_arr(ts) -> np.ndarray | None:
+    """Normalize a tombstone collection (set/list, or an already-sorted
+    int64 array from tombstones_arr) to the sorted-array form the scorers
+    filter with; None/empty -> None."""
+    if ts is None:
+        return None
+    if isinstance(ts, np.ndarray):
+        return ts if ts.size else None
+    if not ts:
+        return None
+    return np.asarray(sorted(int(x) for x in ts), dtype=np.int64)
+
+
+def tombstone_keep_mask(ids: np.ndarray, ts_sorted: np.ndarray) -> np.ndarray:
+    """True where ids SURVIVE the tombstone filter — one searchsorted
+    against the cached sorted array, O(n log m) with no per-query rebuild
+    (np.isin re-sorts its second argument on every call)."""
+    at = np.searchsorted(ts_sorted, ids)
+    hit = (at < ts_sorted.size) & (ts_sorted[np.minimum(at, ts_sorted.size - 1)] == ids)
+    return ~hit
 
 
 _LINEAGE_SCHEMA_PD = {

@@ -323,6 +323,135 @@ def build_ann_index(
     return out_dir
 
 
+def _ann_meta(index_dir: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "ann_meta.json")) as f:
+        return json.load(f)
+
+
+def _ann_delta_dirs(index_dir: str) -> list:
+    """Committed ANN delta dirs (commit marker: the delta's own
+    ann_meta.json, written LAST by append_ann_index)."""
+    import os
+
+    root = os.path.join(index_dir, "deltas")
+    if not os.path.isdir(root):
+        return []
+    return [
+        os.path.join(root, d)
+        for d in sorted(os.listdir(root))
+        if os.path.exists(os.path.join(root, d, "ann_meta.json"))
+    ]
+
+
+def append_ann_index(
+    spark,
+    emb: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Append new vectors to a build_ann_index directory as a DELTA — the
+    vector twin of incremental.append_index, and strictly easier: LSH
+    signatures are functions of (vector, frozen planes) ONLY, independent
+    of corpus statistics, so a delta needs no stats rescaling and probe
+    results over the live group are identical to a full rebuild.
+
+    Commit protocol mirrors the text index: the delta dir is CLAIMED
+    atomically with os.mkdir (two concurrent appends can never race onto
+    one delta number), vectors land hive-partitioned by sig, and the
+    delta's ann_meta.json lands LAST as the commit marker (_ann_delta_dirs
+    filters on it). The base's planes are frozen (config-freeze invariant,
+    olaf_config.h:46-50) — the delta hashes with the SAME planes.
+    """
+    import json
+    import os
+
+    meta = _ann_meta(index_dir)
+    planes = hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
+    root = os.path.join(index_dir, "deltas")
+    os.makedirs(root, exist_ok=True)
+    n = len(os.listdir(root))  # count ALL entries incl. in-flight claims
+    while True:
+        delta_dir = os.path.join(root, f"delta_{n:04d}")
+        try:
+            os.mkdir(delta_dir)  # atomic claim (POSIX mkdir)
+            break
+        except FileExistsError:
+            n += 1
+    v = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("sig", lsh_signature_col(F.col("v"), planes))
+    v.write.mode("overwrite").partitionBy("sig").parquet(
+        os.path.join(delta_dir, "vectors")
+    )
+    tmp = os.path.join(delta_dir, "ann_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(delta_dir, "ann_meta.json"))
+    return delta_dir
+
+
+def ann_tombstones(index_dir: str) -> set[int]:
+    import json
+    import os
+
+    try:
+        with open(os.path.join(index_dir, "tombstones.json")) as f:
+            return set(json.load(f))
+    except FileNotFoundError:
+        return set()
+
+
+def delete_vectors(index_dir: str, vec_ids: list) -> None:
+    """Merge-on-read vector deletion: tombstoned at the index root (a
+    vector lives in exactly one part, but which is not tracked — the probe
+    scan filters the union), same locked read-modify-write protocol as the
+    text index's doc tombstones."""
+    import os
+
+    from olaf_spark.indexer import locked_mutate_id_set
+
+    locked_mutate_id_set(
+        os.path.join(index_dir, "tombstones.json"),
+        lambda ts: ts | {int(v) for v in vec_ids},
+    )
+
+
+def undelete_vectors(index_dir: str, vec_ids: list) -> None:
+    import os
+
+    from olaf_spark.indexer import locked_mutate_id_set
+
+    locked_mutate_id_set(
+        os.path.join(index_dir, "tombstones.json"),
+        lambda ts: ts - {int(v) for v in vec_ids},
+    )
+
+
+def _ann_vector_scan(spark, index_dir: str, sigs: list[str]) -> DataFrame:
+    """Union of the main + every committed delta's sig-pruned vector scan,
+    with the tombstone filter applied — THE single source of 'what vectors
+    are live in these buckets', shared by single-query and batch probes.
+    Each part prunes its hive sig partitions independently; tombstones ride
+    the plan as an isin literal (bounded: deletes between compactions)."""
+    import os
+
+    scan = None
+    for d in [index_dir] + _ann_delta_dirs(index_dir):
+        r = spark.read.parquet(os.path.join(d, "vectors")).where(
+            F.col("sig").isin(sigs)
+        )
+        scan = r if scan is None else scan.unionByName(r)
+    ts = ann_tombstones(index_dir)
+    if ts:
+        scan = scan.where(~F.col("vec_id").isin([int(x) for x in ts]))
+    return scan
+
+
 def probe_signatures(query_vec: list[float], planes: np.ndarray, n_probes: int) -> list[str]:
     """Query signature + the n_probes-1 nearest buckets (multi-probe: flip
     the bits with the smallest |dot| margin first)."""
@@ -346,17 +475,12 @@ def ann_topk_indexed(
 ) -> DataFrame:
     """Approximate top-k against a build_ann_index directory: the probe's
     sig IN-list prunes hive partitions at the scan — only ~n_probes/2^bits
-    of the corpus is read, no signature recompute."""
-    import json
-    import os
-
-    with open(os.path.join(index_dir, "ann_meta.json")) as f:
-        meta = json.load(f)
+    of the corpus is read, no signature recompute. Serves the LIVE GROUP
+    (main + appended deltas, minus tombstones) via _ann_vector_scan."""
+    meta = _ann_meta(index_dir)
     planes = hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
     sigs = probe_signatures(query_vec, planes, n_probes)
-    v = spark.read.parquet(os.path.join(index_dir, "vectors")).where(
-        F.col("sig").isin(sigs)
-    )
+    v = _ann_vector_scan(spark, index_dir, sigs)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     qn = math.sqrt(float(np.dot(query_vec, query_vec)))
     sim = _dot(F.col("v"), q) / (_norm(F.col("v")) * F.lit(qn))
@@ -386,15 +510,12 @@ def ann_batch_topk_indexed(
         WindowGroupLimit (map-side partial top-k before the exchange).
 
     A corpus row carries exactly ONE signature and probe pairs are
-    distinct, so no candidate is scored twice for a query.
+    distinct, so no candidate is scored twice for a query. Serves the LIVE
+    GROUP (main + appended deltas, minus tombstones) via _ann_vector_scan.
     """
-    import json
-    import os
-
     from pyspark.sql import Window
 
-    with open(os.path.join(index_dir, "ann_meta.json")) as f:
-        meta = json.load(f)
+    meta = _ann_meta(index_dir)
     planes = hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
     pairs = [
         (int(qid), s)
@@ -422,9 +543,7 @@ def ann_batch_topk_indexed(
         ).alias("q")
     ).select("q.query_id", "q.qv")
 
-    v = spark.read.parquet(os.path.join(index_dir, "vectors")).where(
-        F.col("sig").isin(all_sigs)
-    )
+    v = _ann_vector_scan(spark, index_dir, all_sigs)
     cand = v.join(F.broadcast(probe_df), "sig").join(F.broadcast(qdf), "query_id")
     sim = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
     w = Window.partitionBy("query_id").orderBy(

@@ -484,6 +484,38 @@ def _positions_for_docs(
     return ids[idx], counts[idx], _seg_cumsum(varbyte_decode(sel.tobytes()), counts[idx])
 
 
+def _check_positions(d: str) -> None:
+    """Refuse loudly when a part has no (or a stale-layout) positional side
+    index — a silent partial phrase answer would be worse."""
+    import json
+
+    meta_path = os.path.join(d, "positions_meta.json")
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"{d} has no positional side index — run build_positions "
+            "(or append with with_positions=True)"
+        )
+    with open(meta_path) as f:
+        found = json.load(f).get("format_version", 1)
+    if found != POSITIONS_FORMAT_VERSION:
+        raise ValueError(
+            f"positions at {d} are format v{found}; this engine reads "
+            f"v{POSITIONS_FORMAT_VERSION} — rebuild with build_positions"
+        )
+
+
+def _union_tombstones(part_dirs: list[str]) -> set[int]:
+    import json
+
+    ts: set[int] = set()
+    for d in part_dirs:
+        ts_path = os.path.join(d, "tombstones.json")
+        if os.path.exists(ts_path):
+            with open(ts_path) as f:
+                ts |= set(json.load(f))
+    return ts
+
+
 def phrase_topk(
     index_dir: str,
     phrase: str,
@@ -500,26 +532,9 @@ def phrase_topk(
     every co-occurring doc (_stats, if given, receives n_candidates /
     n_decoded for tests and benchmarks).
     """
-    import json
-
     import pyarrow.dataset as ds
 
     cfg = cfg or EngineConfig.load(index_dir)
-
-    def _check_positions(d: str) -> None:
-        meta_path = os.path.join(d, "positions_meta.json")
-        if not os.path.exists(meta_path):
-            raise FileNotFoundError(
-                f"{d} has no positional side index — run build_positions "
-                "(or append with with_positions=True)"
-            )
-        with open(meta_path) as f:
-            found = json.load(f).get("format_version", 1)
-        if found != POSITIONS_FORMAT_VERSION:
-            raise ValueError(
-                f"positions at {d} are format v{found}; this engine reads "
-                f"v{POSITIONS_FORMAT_VERSION} — rebuild with build_positions"
-            )
 
     # group serving: every live delta must carry its own positions (phrase
     # answers need no cross-part statistics, so the union of part rows IS
@@ -563,14 +578,11 @@ def phrase_topk(
         cand = d if cand is None else np.intersect1d(cand, d, assume_unique=True)
     # merge-on-read deletes apply here like every other query path: the
     # union of part tombstones drops candidates before any position decode
-    ts: set[int] = set()
-    for d_ in part_dirs:
-        ts_path = os.path.join(d_, "tombstones.json")
-        if os.path.exists(ts_path):
-            with open(ts_path) as f:
-                ts |= set(json.load(f))
+    ts = _union_tombstones(part_dirs)
     if ts and cand.size:
-        cand = cand[~np.isin(cand, np.fromiter(ts, dtype=np.int64))]
+        from olaf_spark.indexer import sorted_tombstone_arr, tombstone_keep_mask
+
+        cand = cand[tombstone_keep_mask(cand, sorted_tombstone_arr(ts))]
     if cand.size == 0:
         return []
 
@@ -679,3 +691,202 @@ def _phrase_tfs(
             return empty
     ords, tfs = np.unique(keys // M, return_counts=True)
     return cand[ords], tfs.astype(np.int64)
+
+
+# --------------------------------------------------------------------------
+# distributed batch phrase: B phrase queries as ONE Spark job
+# --------------------------------------------------------------------------
+
+PHRASE_STAGE1_SCHEMA = (
+    "query_id long, ppos int, part int, bucket int, "
+    "doc_ids_bin binary, pos_counts_bin binary, pos_bin binary, "
+    "pos_offs array<long>"
+)
+
+
+def _make_phrase_fanout(bsubs):
+    """mapInPandas fn: positional rows -> one copy per subscribing (query,
+    phrase-position). Buffers travel PACKED — no decode before the shuffle;
+    the shuffle key (query, part, bucket) co-locates every phrase term's
+    rows covering the same doc range (bucket = f(doc_id) within a part, so
+    a doc's rows for ALL terms share one group)."""
+    import pandas as pd
+
+    def fan(pdf_iter):
+        subs = bsubs.value[0]
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            tids = pdf["term_id"].to_numpy(dtype=np.int64)
+            take: list[int] = []
+            qid_l: list[int] = []
+            ppos_l: list[int] = []
+            for i, t in enumerate(tids):
+                for qid, ppos in subs.get(int(t), ()):
+                    take.append(i)
+                    qid_l.append(qid)
+                    ppos_l.append(ppos)
+            if not take:
+                continue  # row-group stats pruning is approximate
+            sub = pdf.iloc[take]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.asarray(qid_l, dtype=np.int64),
+                    "ppos": np.asarray(ppos_l, dtype=np.int32),
+                    "part": sub["part"].to_numpy(dtype=np.int32),
+                    "bucket": sub["bucket"].to_numpy(dtype=np.int32),
+                    "doc_ids_bin": sub["doc_ids_bin"].to_numpy(),
+                    "pos_counts_bin": sub["pos_counts_bin"].to_numpy(),
+                    "pos_bin": sub["pos_bin"].to_numpy(),
+                    "pos_offs": sub["pos_offs"].to_numpy(),
+                }
+            )
+
+    return fan
+
+
+def _make_phrase_verify(bsubs):
+    """applyInPandas fn per (query, part, bucket) group: decode headers,
+    intersect candidate docs, tombstone-filter, scattered-gather decode,
+    vectorized adjacency verify (_phrase_tfs) — the same numpy core as
+    driver-side phrase_topk, executed where the group's rows landed."""
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series(dtype="int64"),
+            "doc_id": pd.Series(dtype="int64"),
+            "phrase_tf": pd.Series(dtype="int64"),
+        }
+    )
+
+    def verify(key, pdf):
+        _, nterms, ts_sorted = bsubs.value
+        qid = int(key[0])
+        nt = nterms[qid]
+        data: dict[int, list[dict]] = {}
+        ppos_np = pdf["ppos"].to_numpy(dtype=np.int64)
+        for i in range(len(pdf)):
+            data.setdefault(int(ppos_np[i]), []).append(
+                dict(
+                    ids=delta_decode(
+                        varbyte_decode(bytes(pdf["doc_ids_bin"].iloc[i]))
+                    ).astype(np.int64),
+                    counts=varbyte_decode(
+                        bytes(pdf["pos_counts_bin"].iloc[i])
+                    ).astype(np.int64),
+                    buf=bytes(pdf["pos_bin"].iloc[i]),
+                    offs=np.asarray(pdf["pos_offs"].iloc[i], dtype=np.int64),
+                )
+            )
+        if len(data) != nt:
+            return empty  # some phrase term absent from this doc range
+        cand = None
+        for p in range(nt):
+            dset = np.unique(np.concatenate([r["ids"] for r in data[p]]))
+            cand = dset if cand is None else np.intersect1d(cand, dset, assume_unique=True)
+        if ts_sorted is not None and ts_sorted.size and cand.size:
+            at = np.searchsorted(ts_sorted, cand)
+            dead = (at < ts_sorted.size) & (
+                ts_sorted[np.minimum(at, ts_sorted.size - 1)] == cand
+            )
+            cand = cand[~dead]
+        if cand.size == 0:
+            return empty
+        docs, tfs = _phrase_tfs(cand, data, list(range(nt)), nt)
+        if docs.size == 0:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.full(docs.size, qid, dtype=np.int64),
+                "doc_id": docs,
+                "phrase_tf": tfs,
+            }
+        )
+
+    return verify
+
+
+def batch_phrase_topk(
+    spark: SparkSession,
+    base_dir: str,
+    queries,
+    k: int = 10,
+    cfg: EngineConfig | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, phrase_tf, rank) — exact-phrase top-k for EVERY
+    query in the batch as ONE distributed plan over the positional rows
+    (the phrase twin of batch.batch_query_index; reference analogue: Olaf's
+    bulk-query protocol, eval/olaf_benchmark/olaf_benchmark.rb:76-81).
+
+    Shape (100 TB / 1000 executors):
+      driver   tokenize B phrases, broadcast {term_id -> [(query, ppos)]}
+               + per-query term counts + the group tombstone snapshot
+      scan     every part's positions parquet pruned by hive tb partition
+               AND term_id row-group stats — only the batch's terms' rows
+               are read, buffers stay PACKED through the fan-out
+      shuffle  one exchange keyed (query, part, bucket): all terms of one
+               doc range group together, so adjacency verifies group-locally
+               (a doc lives in exactly one part and one bucket)
+      verify   applyInPandas: the same vectorized candidate-intersection +
+               scattered-gather decode + key-intersection core as serving
+      top-k    rank<=k per query plans as WindowGroupLimit (map-side
+               partial top-k before the final exchange)
+
+    Per query, (doc_id, phrase_tf) sets are identical to phrase_topk
+    (tests/test_phrase.py); job count is flat in B.
+    """
+    from pyspark.sql import Window
+
+    from olaf_spark.incremental import _delta_dirs
+
+    cfg = cfg or EngineConfig.load(base_dir)
+    part_dirs = [base_dir] + _delta_dirs(base_dir)
+    for d in part_dirs:
+        _check_positions(d)
+
+    subs: dict[int, list[tuple[int, int]]] = {}
+    nterms: dict[int, int] = {}
+    for qid, text in queries:
+        qterms = tokenize_py(text, cfg)  # ORDER MATTERS — not deduped
+        if not qterms:
+            continue
+        nterms[int(qid)] = len(qterms)
+        for ppos, t in enumerate(qterms):
+            subs.setdefault(term_id_py(t), []).append((int(qid), ppos))
+    out_schema = "query_id long, doc_id long, phrase_tf long, rank long"
+    if not subs:
+        return spark.createDataFrame([], out_schema)
+
+    ts = _union_tombstones(part_dirs)
+    ts_sorted = np.asarray(sorted(ts), dtype=np.int64) if ts else None
+    bsubs = spark.sparkContext.broadcast((subs, nterms, ts_sorted))
+
+    tids_all = sorted(subs)
+    tbs = sorted({t % cfg.n_segments for t in tids_all})
+    scan = None
+    for pi, d in enumerate(part_dirs):
+        r = (
+            spark.read.parquet(os.path.join(d, "positions"))
+            .where(F.col("tb").isin(tbs) & F.col("term_id").isin(tids_all))
+            .withColumn("part", F.lit(pi))
+        )
+        scan = r if scan is None else scan.unionByName(r)
+
+    verified = (
+        scan.mapInPandas(_make_phrase_fanout(bsubs), PHRASE_STAGE1_SCHEMA)
+        .groupBy("query_id", "part", "bucket")
+        .applyInPandas(
+            _make_phrase_verify(bsubs), "query_id long, doc_id long, phrase_tf long"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("phrase_tf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        verified.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "doc_id", "phrase_tf", F.col("rank").cast("long").alias("rank")
+        )
+    )

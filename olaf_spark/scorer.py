@@ -222,17 +222,19 @@ def bm25_topk_adhoc(
     The materialized-index path lives in indexer.py; this ad-hoc path is the
     semantics referent and the oracle-checked query.
 
-    postings_flat is cached: the plan needs it for corpus stats, df lookup,
-    and scoring — without the cache the tokenize+groupBy pipeline would run
-    once per downstream action (4x the work).
+    Routed through AdhocIndex so the tokenized corpus is cached for the
+    plan's several actions AND released before returning — the round-3
+    version stacked an unreferenced `.cache()` per call (an executor-memory
+    leak for any external caller making repeated one-shot queries). The <=k
+    result rows are materialized and returned as a local DataFrame; callers
+    needing the LAZY plan for many queries should hold an AdhocIndex
+    themselves (its .topk is this exact plan) and unpersist when done.
     """
-    postings_flat = postings_flat_df(docs, text_col, id_col, cfg).cache()
-    # N and avgdl over ALL docs (incl. zero-token ones) — oracle semantics.
-    # N is a metadata-only parquet count; avgdl = sum(tf)/N.
-    n_docs = docs.count()
-    total = postings_flat.agg(F.sum("tf")).collect()[0][0] or 0
-    avgdl = total / n_docs if n_docs else 0.0
-    term_stats = postings_flat.groupBy("term").agg(F.count("*").alias("df"))
-    qidf = query_term_idfs(query_text, term_stats, n_docs, cfg)
-    min_score = cfg.min_score if min_score is None else min_score
-    return topk(bm25_scores(postings_flat, qidf, avgdl, cfg), k, min_score)
+    adhoc = AdhocIndex(spark, docs, cfg, text_col, id_col)
+    try:
+        out = adhoc.topk(query_text, k, min_score)
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        adhoc.unpersist()
+    return spark.createDataFrame(rows, schema)

@@ -166,19 +166,37 @@ def stream_bm25_queries(
     """foreachBatch BM25 serving: each micro-batch of (query_id, query_text)
     rows is answered against the materialized index via the WAND scorer.
 
+    LIVE-DELTA AWARE (Olaf analogue: the stdin query path reads the live
+    store — every committed txn is visible to readers, src/olaf.c:213-220,
+    src/olaf_db.c:309-311): every micro-batch re-checks the index's delta
+    directory (a cheap listing, no data read) and serves through
+    IndexGroup when deltas exist — so queries streamed WHILE the append
+    sink (stream_index_appends) is committing deltas retrieve the newly
+    appended docs, exactly like the batch query_job already does. The
+    group is rebuilt only when the delta set changes.
+
     Returns (results_accumulator_list, foreachBatch_fn) — attach the fn with
     .writeStream.foreachBatch(fn). Incremental-index appends compose the
     same way: foreachBatch -> indexer.build_index(resume=True).
     """
+    from olaf_spark.incremental import IndexGroup, _delta_dirs
     from olaf_spark.wand import query_index
 
     results: list[tuple] = []
+    state: dict = {"sig": None, "group": None}
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        deltas = tuple(_delta_dirs(index.index_dir))
+        if deltas and state["sig"] != deltas:
+            state["group"] = IndexGroup.load(index.index_dir)
+            state["sig"] = deltas
+        group = state["group"] if deltas else None
         for row in batch_df.collect():
-            for rank, (doc_id, score) in enumerate(
-                query_index(spark, index, row["query_text"], k=k), start=1
-            ):
+            if group is not None:
+                hits = group.topk(row["query_text"], k=k)
+            else:
+                hits = query_index(spark, index, row["query_text"], k=k)
+            for rank, (doc_id, score) in enumerate(hits, start=1):
                 results.append((row["query_id"], rank, doc_id, score))
 
     return results, handle

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from olaf_spark.codec import decode_block, decode_ids_blocked, varbyte_decode
 from olaf_spark.config import EngineConfig
-from olaf_spark.indexer import Index
+from olaf_spark.indexer import Index, sorted_tombstone_arr, tombstone_keep_mask
 from olaf_spark.scorer import idf as idf_fn
 from olaf_spark.tokenize import tokenize_py
 
@@ -92,7 +92,7 @@ def load_term_postings(
     for t in qterms:
         id_to_term.setdefault(term_id_py(t), t)
     rows = _fetch_posting_rows(index, qterms)
-    tombstones = index.tombstones()
+    ts_arr = index.tombstones_arr()  # cached sorted array, no per-query build
     out = []
     # chunked head terms arrive as several rows (chunk 0..n, doc-disjoint);
     # one TermPostings per row is fine for every scorer — a doc lives in
@@ -101,11 +101,11 @@ def load_term_postings(
         ids = decode_ids_blocked(bytes(r["doc_ids_bin"]), cfg.block_size)
         tfs = varbyte_decode(bytes(r["tfs_bin"]))
         dls = varbyte_decode(bytes(r["doc_lens_bin"]))
-        if tombstones:
+        if ts_arr is not None:
             # merge-on-read delete; block metadata stays valid: removing docs
             # can only lower a block's true max, so stored maxes remain upper
             # bounds and block_lasts remain sound skip targets.
-            keep = ~np.isin(ids.astype(np.int64), np.fromiter(tombstones, dtype=np.int64))
+            keep = tombstone_keep_mask(ids.astype(np.int64), ts_arr)
             ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
         w = idf_fn(index.n_docs, int(r["df"]))
         tfs_f = tfs.astype(np.float64)
@@ -368,7 +368,7 @@ def blockmax_topk(
     k: int,
     cfg: EngineConfig,
     avgdl: float,
-    tombstones: set[int] | None = None,
+    tombstones=None,  # set/list, or a SORTED int64 array (tombstones_arr)
     min_score: float = 0.0,
     stats_out: dict | None = None,
 ) -> list[tuple[int, float]]:
@@ -404,9 +404,7 @@ def blockmax_topk(
     """
     if not raw_lists or k <= 0:
         return []
-    ts_arr = (
-        np.fromiter(tombstones, dtype=np.int64) if tombstones else None
-    )
+    ts_arr = sorted_tombstone_arr(tombstones)
     bs = cfg.block_size
     n_all = np.array([rp.block_lasts.size for rp in raw_lists])
 
@@ -422,7 +420,7 @@ def blockmax_topk(
         theta_decoded[shortest] = (s_ids, s_scores)
         sc = s_scores
         if ts_arr is not None:
-            sc = sc[~np.isin(s_ids, ts_arr)]
+            sc = sc[tombstone_keep_mask(s_ids, ts_arr)]
         if sc.size >= k:
             theta = max(
                 theta, float(np.partition(sc, sc.size - k)[sc.size - k])
@@ -464,7 +462,7 @@ def blockmax_topk(
     ids = np.concatenate(ids_l)
     scores = np.concatenate(sc_l)
     if ts_arr is not None:
-        keep = ~np.isin(ids, ts_arr)
+        keep = tombstone_keep_mask(ids, ts_arr)
         ids, scores = ids[keep], scores[keep]
     if ids.size == 0:
         return []
@@ -518,7 +516,7 @@ def query_index(
     if method == "blockmax":
         raw = load_term_postings_raw(spark, index, query_text)
         return blockmax_topk(
-            raw, k, index.cfg, index.avgdl, index.tombstones(), min_score
+            raw, k, index.cfg, index.avgdl, index.tombstones_arr(), min_score
         )
     else:
         lists = load_term_postings(spark, index, query_text)

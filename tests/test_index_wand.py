@@ -398,3 +398,41 @@ def test_stale_format_version_refused(spark, built, tmp_path):
         json.dump(stats, f)
     with pytest.raises(ValueError, match="format"):
         Index.load(d)
+
+
+def test_tombstone_sidecar_and_searchsorted_mask(tmp_path):
+    """Scale-proof tombstones (r4): every locked mutate writes a SORTED
+    int64 parquet sidecar next to tombstones.json; the array read path
+    prefers the sidecar when fresh, falls back to (and is overridden by) a
+    newer hand-edited json; the searchsorted keep-mask agrees with set
+    membership."""
+    import json
+    import os
+    import time
+
+    import numpy as np
+
+    from olaf_spark.indexer import (
+        locked_mutate_id_set,
+        read_tombstones_arr,
+        tombstone_keep_mask,
+    )
+
+    p = str(tmp_path / "tombstones.json")
+    dead = set(range(0, 100_000, 3))
+    locked_mutate_id_set(p, lambda ts: ts | dead)
+    assert os.path.exists(str(tmp_path / "tombstones.parquet"))
+    arr = read_tombstones_arr(str(tmp_path))
+    assert arr.size == len(dead) and (np.diff(arr) > 0).all()
+
+    ids = np.arange(50, 200, dtype=np.int64)
+    keep = tombstone_keep_mask(ids, arr)
+    want = np.array([int(i) not in dead for i in ids])
+    assert (keep == want).all()
+
+    # a json written by hand (or an older engine) AFTER the sidecar wins
+    with open(p, "w") as f:
+        json.dump([1, 2], f)
+    t = time.time() + 10
+    os.utime(p, (t, t))
+    assert read_tombstones_arr(str(tmp_path)).tolist() == [1, 2]

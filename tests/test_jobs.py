@@ -97,8 +97,13 @@ def test_maintenance_cycle_jobs_end_to_end(spark, tmp_path):
 
     run([f"{REPO}/jobs/build_index_job.py", "--pages", half_a, "--index", ix_dir,
          "--from-html", "--n-buckets", "4"])
+    # positional rows on the base (positions subcommand), then an append
+    # that CARRIES its own positions — phrase serving stays live throughout
+    run([f"{REPO}/jobs/maintain_job.py", "positions", "--index", ix_dir,
+         "--pages", half_a, "--from-html", "--n-buckets", "4"])
     m = run([f"{REPO}/jobs/maintain_job.py", "append", "--index", ix_dir,
-             "--pages", half_b, "--from-html", "--n-buckets", "4"])[0]
+             "--pages", half_b, "--from-html", "--n-buckets", "4",
+             "--with-positions"])[0]
     assert m["n_docs"] == 100 and m["cmd"] == "append"
 
     grp = run([f"{REPO}/jobs/query_job.py", "--index", ix_dir,
@@ -111,6 +116,14 @@ def test_maintenance_cycle_jobs_end_to_end(spark, tmp_path):
         for q in {r["query_id"] for r in rows}
     }
     assert by_q(grp) == by_q(dist)
+
+    # phrase query over the LIVE GROUP through the job surface
+    qfile3 = tmp_path / "q3.txt"
+    qfile3.write_text("needle97\n")
+    ph_live = run([f"{REPO}/jobs/query_job.py", "--index", ix_dir,
+                   "--queries", str(qfile3), "--k", "3", "--phrase"])
+    needle_doc = by_q(grp)[1][0]
+    assert ph_live and ph_live[0]["doc_id"] == needle_doc and ph_live[0]["score"] == 1.0
 
     out_dir = str(tmp_path / "ix2")
     c = run([f"{REPO}/jobs/maintain_job.py", "compact", "--index", ix_dir,
@@ -125,16 +138,18 @@ def test_maintenance_cycle_jobs_end_to_end(spark, tmp_path):
     qfile2.write_text("nedle97\n")
     fz = run([f"{REPO}/jobs/query_job.py", "--index", out_dir,
               "--queries", str(qfile2), "--k", "5", "--fuzzy"])
-    needle_doc = by_q(grp)[1][0]
     assert fz and fz[0]["doc_id"] == needle_doc
 
-    # positional side index + phrase query through the job surface
-    pfull = str(tmp_path / "pfull")
-    pages.write.parquet(pfull)
-    run([f"{REPO}/jobs/maintain_job.py", "positions", "--index", out_dir,
-         "--pages", pfull, "--from-html", "--n-buckets", "4"])
-    qfile3 = tmp_path / "q3.txt"
-    qfile3.write_text("needle97\n")
+    # phrase queries answer IMMEDIATELY after compact — the positional side
+    # index was folded in the same job, NO manual positions step — and the
+    # distributed batch phrase path agrees with driver-side serving
     ph = run([f"{REPO}/jobs/query_job.py", "--index", out_dir,
               "--queries", str(qfile3), "--k", "3", "--phrase"])
-    assert ph and ph[0]["doc_id"] == needle_doc and ph[0]["score"] == 1.0
+    assert ph == ph_live, (ph, ph_live)
+    ph_d = run([f"{REPO}/jobs/query_job.py", "--index", out_dir,
+                "--queries", str(qfile3), "--k", "3", "--phrase",
+                "--method", "distributed"])
+    norm = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in rows
+    )
+    assert norm(ph_d) == norm(ph)

@@ -180,6 +180,48 @@ def test_ann_index_partition_pruning_and_recall(spark, emb, tmp_path):
     assert len(exact & got) >= 3  # recall floor, same as the ad-hoc test
 
 
+def test_ann_index_append_and_tombstones(spark, emb, tmp_path):
+    """ANN index maintenance (r4): an index built on HALF the vectors plus
+    an appended delta over the other half must answer every probe exactly
+    like an index built once over the full corpus (signatures are
+    corpus-independent — no stats rescaling); deleted vectors vanish from
+    single-query AND batch probes, and return on undelete."""
+    from olaf_spark.ops.similarity import (
+        ann_batch_topk_indexed,
+        ann_topk_indexed,
+        append_ann_index,
+        build_ann_index,
+        delete_vectors,
+        undelete_vectors,
+    )
+
+    df, base = emb
+    full_dir = str(tmp_path / "ann_full")
+    live_dir = str(tmp_path / "ann_live")
+    build_ann_index(spark, df, full_dir, n_planes=4, seed=42)
+    build_ann_index(spark, df.where("vec_id % 2 = 0"), live_dir, n_planes=4, seed=42)
+    append_ann_index(spark, df.where("vec_id % 2 = 1"), live_dir)
+
+    q = [float(x) for x in base[0]]
+    want = [(r["vec_id"], r["cosine_sim"])
+            for r in ann_topk_indexed(spark, full_dir, q, k=5, n_probes=3).collect()]
+    got = [(r["vec_id"], r["cosine_sim"])
+           for r in ann_topk_indexed(spark, live_dir, q, k=5, n_probes=3).collect()]
+    assert got == want
+
+    victim = got[0][0]
+    delete_vectors(live_dir, [victim])
+    after = [r["vec_id"]
+             for r in ann_topk_indexed(spark, live_dir, q, k=5, n_probes=3).collect()]
+    assert victim not in after and after  # dropped, others still served
+    batch = ann_batch_topk_indexed(spark, live_dir, [(0, q)], k=5, n_probes=3).collect()
+    assert victim not in {r["vec_id"] for r in batch}
+    undelete_vectors(live_dir, [victim])
+    restored = [(r["vec_id"], r["cosine_sim"])
+                for r in ann_topk_indexed(spark, live_dir, q, k=5, n_probes=3).collect()]
+    assert restored == want
+
+
 def test_ann_batch_matches_per_query_indexed(spark, emb, tmp_path):
     """Batch ANN (one job, broadcast probes) must return exactly what the
     per-query indexed path returns for each query, and prune partitions at

@@ -178,6 +178,86 @@ def test_positions_survive_compaction(spark, positional, tmp_path):
         assert all(d != victim for d, _ in got)
 
 
+def test_batch_phrase_matches_serving(spark, positional):
+    """Distributed batch phrase (r4): B phrases as ONE Spark job must agree
+    per query with driver-side phrase_topk — including repeated-term
+    phrases, a single-term phrase, and an absent-term phrase (no rows)."""
+    from olaf_spark.phrase import batch_phrase_topk
+
+    rows, d = positional
+    batch = [
+        (0, "w2 w3"),
+        (1, "w3 w2 w2"),
+        (2, "w5"),
+        (3, "zzznothere w2"),
+        (4, "w17 w2"),
+    ]
+    got = batch_phrase_topk(spark, d, batch, k=10).collect()
+    per_q: dict[int, list[tuple[int, int]]] = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        per_q.setdefault(r["query_id"], []).append((r["doc_id"], r["phrase_tf"]))
+    for qid, text in batch:
+        want = phrase_topk(d, text, k=10)
+        assert per_q.get(qid, []) == want, (qid, text)
+
+
+def test_batch_phrase_over_live_group_with_tombstones(spark, positional, tmp_path):
+    """Batch phrase over main + delta applies the union tombstone snapshot,
+    same per-query answers as group serving."""
+    from olaf_spark.incremental import append_index
+    from olaf_spark.indexer import Index, build_index
+    from olaf_spark.phrase import batch_phrase_topk
+
+    rows, _ = positional
+    pages = spark.createDataFrame(rows, "doc_id long, text string")
+    base = str(tmp_path / "bpg")
+    build_index(spark, pages.where("doc_id % 2 = 0"), base, CFG, n_buckets=4)
+    build_positions(spark, pages.where("doc_id % 2 = 0"), base, CFG, n_buckets=4)
+    append_index(
+        spark, pages.where("doc_id % 2 = 1"), base, n_buckets=4, with_positions=True
+    )
+    victim = phrase_topk(base, "w2 w3", k=1)[0][0]
+    Index.load(base).delete_docs([victim])
+    batch = [(0, "w2 w3"), (1, "w3 w2 w2")]
+    got = batch_phrase_topk(spark, base, batch, k=10).collect()
+    per_q: dict[int, list[tuple[int, int]]] = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        per_q.setdefault(r["query_id"], []).append((r["doc_id"], r["phrase_tf"]))
+    for qid, text in batch:
+        assert per_q.get(qid, []) == phrase_topk(base, text, k=10), (qid, text)
+        assert all(doc != victim for doc, _ in per_q.get(qid, []))
+
+
+def test_batch_phrase_one_job_and_plan_shape(spark, positional):
+    """Job count flat in B (one plan, one scan, one verify shuffle); top-k
+    plans as WindowGroupLimit; tb partition pruning and term_id row-group
+    pruning reach the positions scan; no row-at-a-time Python."""
+    import re
+
+    from olaf_spark.phrase import batch_phrase_topk
+
+    _, d = positional
+    batch = [(0, "w2 w3"), (1, "w3 w2 w2"), (2, "w5"), (3, "w17 w2")]
+    tracker = spark.sparkContext.statusTracker()
+
+    def n_jobs_for(queries):
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        batch_phrase_topk(spark, d, queries, k=10).collect()
+        return len(tracker.getJobIdsForGroup(None) or []) - before
+
+    assert n_jobs_for(batch) == n_jobs_for(batch[:1])
+
+    df = batch_phrase_topk(spark, d, batch, k=10)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p = df._jdf.queryExecution().explainString(mode)
+    assert "WindowGroupLimit" in p, p
+    assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 1, p
+    assert "FlatMapGroupsInPandas" in p, p
+    assert "BatchEvalPython" not in p
+    assert re.search(r"PartitionFilters: \[tb#\d+ IN", p), p
+    assert "PushedFilters: [In(term_id" in p, p
+
+
 def test_positions_survive_small_arrow_batches(spark, positional, tmp_path):
     """Pack correctness independent of Arrow batch slicing (the
     _iter_term_chunks carry path)."""

@@ -45,19 +45,33 @@ def plan_codegen(spark, df) -> str:
 
 
 def test_topk_plans_as_bounded_heap(spark):
-    df = bm25_topk_adhoc(spark, eq._docs(spark, SF), "spark join window", k=10)
-    p = plan(df)
-    assert "TakeOrderedAndProject" in p  # bounded top-k heap, never a full sort
+    # AdhocIndex.topk IS the lazy plan bm25_topk_adhoc executes (the public
+    # fn now materializes its <=k rows so its cache can be released —
+    # plan contracts are asserted on the underlying builder)
+    from olaf_spark.scorer import AdhocIndex
+
+    ix = AdhocIndex(spark, eq._docs(spark, SF))
+    try:
+        p = plan(ix.topk("spark join window", k=10))
+        assert "TakeOrderedAndProject" in p  # bounded top-k heap, never a full sort
+    finally:
+        ix.unpersist()
 
 
 def test_bm25_adhoc_path_has_no_python(spark):
     """The distributed query path is 100% JVM: query terms enter as an isin
     predicate + CASE WHEN idf literals, no UDF of any kind."""
-    p = plan(bm25_topk_adhoc(spark, eq._docs(spark, SF), "spark join window", k=10))
-    assert "BatchEvalPython" not in p     # row-at-a-time Python UDF
-    assert "ArrowEvalPython" not in p     # pandas UDF
-    assert "MapInPandas" not in p
-    assert "Join" not in p                # no posting join: predicate + literals
+    from olaf_spark.scorer import AdhocIndex
+
+    ix = AdhocIndex(spark, eq._docs(spark, SF))
+    try:
+        p = plan(ix.topk("spark join window", k=10))
+        assert "BatchEvalPython" not in p     # row-at-a-time Python UDF
+        assert "ArrowEvalPython" not in p     # pandas UDF
+        assert "MapInPandas" not in p
+        assert "Join" not in p                # no posting join: predicate + literals
+    finally:
+        ix.unpersist()
 
 
 def test_build_stage1_single_exchange(spark):

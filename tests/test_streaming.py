@@ -104,6 +104,45 @@ def test_stateful_accumulator_across_batches(spark, stream_dir):
         q.stop()
 
 
+def test_stream_queries_see_live_deltas(spark, tmp_path):
+    """An append landing MID-STREAM is visible to later micro-batches: the
+    serving handler re-checks the delta directory every batch (a cheap
+    listing) and routes through IndexGroup — live-store read semantics
+    (src/olaf_db.c:309-311). Before the append the needle query finds
+    nothing; after it, the appended doc ranks first."""
+    from olaf_spark.config import EngineConfig
+    from olaf_spark.incremental import append_index
+    from olaf_spark.indexer import build_index
+    from olaf_spark.synth import gen_pages
+
+    pages = gen_pages(spark, 200, seed=11).select("doc_id", "text")
+    base = str(tmp_path / "ix")
+    index = build_index(
+        spark, pages.where("doc_id < 97"), base, EngineConfig(), n_buckets=4
+    )
+
+    qdir = str(tmp_path / "queries")
+    spark.createDataFrame(
+        [(1, "needle97")], "query_id long, query_text string"
+    ).coalesce(1).write.parquet(qdir)
+    stream = spark.readStream.schema("query_id long, query_text string").parquet(qdir)
+    results, handle = stream_bm25_queries(spark, stream, index, k=3)
+    q = stream.writeStream.foreachBatch(handle).start()
+    try:
+        q.processAllAvailable()
+        assert results == []  # doc 97 not ingested yet -> no hits
+
+        append_index(spark, pages.where("doc_id >= 97"), base, n_buckets=4)
+        spark.createDataFrame(
+            [(2, "needle97")], "query_id long, query_text string"
+        ).coalesce(1).write.mode("append").parquet(qdir)
+        q.processAllAvailable()
+        hits2 = [(rank, doc) for qid, rank, doc, _ in results if qid == 2]
+        assert (1, 97) in hits2, results
+    finally:
+        q.stop()
+
+
 def test_foreachbatch_bm25_serving(spark, tmp_path):
     from olaf_spark.config import EngineConfig
     from olaf_spark.indexer import build_index
