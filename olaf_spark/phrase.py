@@ -449,28 +449,34 @@ def _ranges_gather_index(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
 
 
 def _positions_for_docs(
-    row: dict, keep: np.ndarray
+    row: dict, idx: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(kept doc_ids, kept counts, kept positions).
+    """(kept doc_ids, kept counts, kept positions) for SORTED doc indices
+    `idx` into the row.
 
     VECTORIZED SCATTERED DECODE: every doc's position run restarts absolute
     and its byte extent is known (pos_offs), so the kept docs' byte ranges
     are gathered with ONE fancy-index into one contiguous buffer and
-    decoded with ONE varbyte_decode call — O(selected bytes), regardless of
-    how scattered the kept set is. This replaced the round-3 hybrid (per-run
-    Python decode calls, measured 4x slower when the kept set shattered into
-    thousands of runs, falling back to an O(total bytes) full decode when
-    dense): the head-head dense case now decodes only candidate docs' bytes.
-    A nearly-full keep skips the gather (full decode + mask is cheaper than
-    building an index covering ~everything).
+    decoded with ONE varbyte_decode call — O(kept docs' bytes), regardless
+    of how scattered the kept set is. This replaced the round-3 hybrid
+    (per-run Python decode calls, measured 4x slower when the kept set
+    shattered into thousands of runs, falling back to an O(total bytes)
+    full decode when dense): the head-head dense case now decodes only
+    candidate docs' bytes. Taking INDICES (not a row-length bool mask)
+    keeps the cost independent of the row's size — the chunked serving
+    loop calls this per candidate chunk, and an O(row) mask per chunk per
+    row made chunking QUADRATIC on head terms (measured: 688 ms where the
+    round-3 full decode took 502 ms). A nearly-full keep still short-cuts
+    to one full decode + occurrence mask.
     """
-    idx = np.flatnonzero(keep)
     if idx.size == 0:
         e = np.empty(0, dtype=np.int64)
         return e, e, np.empty(0, dtype=np.uint64)
     ids, counts, buf, offs = row["ids"], row["counts"], row["buf"], row["offs"]
     n = ids.size
     if idx.size * 1.25 >= n:
+        keep = np.zeros(n, dtype=bool)
+        keep[idx] = True
         pos_all = _seg_cumsum(varbyte_decode(buf), counts)
         occ_keep = np.repeat(keep, counts)
         return ids[idx], counts[idx], pos_all[occ_keep]
@@ -574,8 +580,19 @@ def phrase_topk(
     # selective candidate set's positions
     cand = None
     for t in set(tids):
-        d = np.unique(np.concatenate([r["ids"] for r in data[t]]))
-        cand = d if cand is None else np.intersect1d(cand, d, assume_unique=True)
+        # rows are doc-disjoint and internally sorted; ordered by first doc
+        # the concat is usually globally sorted already (buckets are doc
+        # RANGES) — skip the O(n log n) unique/sort unless parts overlap
+        rows_t = sorted(data[t], key=lambda r: int(r["ids"][0]) if r["ids"].size else 0)
+        d = np.concatenate([r["ids"] for r in rows_t])
+        if d.size > 1 and not (d[1:] > d[:-1]).all():
+            d = np.unique(d)
+        if cand is None:
+            cand = d
+        else:  # sorted-merge intersection: O(n log m), no re-sort
+            at = np.searchsorted(cand, d)
+            ok = (at < cand.size) & (cand[np.minimum(at, cand.size - 1)] == d)
+            cand = d[ok]
     # merge-on-read deletes apply here like every other query path: the
     # union of part tombstones drops candidates before any position decode
     ts = _union_tombstones(part_dirs)
@@ -601,14 +618,30 @@ def phrase_topk(
     for t in dict.fromkeys(tids):
         c = np.zeros(cand.size, dtype=np.int64)
         for row in data[t]:
+            # a row covers ONE doc-range bucket — slice the candidate set
+            # to the row's [first, last] range before searching, so the
+            # whole ub pass costs O(candidates) per term, not O(rows x
+            # candidates) (measured ~100 ms of pure searchsorted on a
+            # 352 k-candidate head-head pair without the slice)
             ids_r = row["ids"]
-            at = np.searchsorted(ids_r, cand)
-            ok = (at < ids_r.size) & (ids_r[np.minimum(at, ids_r.size - 1)] == cand)
-            c[ok] += row["counts"][at[ok]]
+            if not ids_r.size:
+                continue
+            lo = int(np.searchsorted(cand, ids_r[0]))
+            hi = int(np.searchsorted(cand, ids_r[-1], side="right"))
+            if lo == hi:
+                continue
+            sub = cand[lo:hi]
+            at = np.searchsorted(ids_r, sub)
+            ok = (at < ids_r.size) & (ids_r[np.minimum(at, ids_r.size - 1)] == sub)
+            c[lo + np.flatnonzero(ok)] += row["counts"][at[ok]]
         ub = c if ub is None else np.minimum(ub, c)
     order = np.argsort(-ub, kind="stable")
 
-    chunk = 8192
+    # adaptive chunk: small sets in one pass; huge candidate sets in ~8
+    # chunks so theta can terminate the tail, without paying per-chunk
+    # fixed costs 40x when the bound turns out not to prune (a 3-term
+    # phrase's min-tf bound rarely does)
+    chunk = int(max(8192, min(65536, cand.size // 8)))
     res_docs: list[np.ndarray] = []
     res_tfs: list[np.ndarray] = []
     n_res = 0
@@ -659,14 +692,25 @@ def _phrase_tfs(
     for t in dict.fromkeys(tids):
         ords_l, pos_l = [], []
         for row in data[t]:
-            pos_idx = np.searchsorted(cand, row["ids"])
-            keep = (pos_idx < cand.size) & (
-                cand[np.minimum(pos_idx, cand.size - 1)] == row["ids"]
-            )
-            kids, kcounts, kpos = _positions_for_docs(row, keep)
+            # search the (small, sorted) candidate set INTO the row, range-
+            # sliced to the row's doc bucket — per call cost O(sub log row),
+            # so the chunked serving loop's total work stays O(candidates),
+            # never O(chunks x row). The surviving slice positions double as
+            # the candidate ORDINALS (no second searchsorted).
+            ids_r = row["ids"]
+            if not ids_r.size:
+                continue
+            lo = int(np.searchsorted(cand, ids_r[0]))
+            hi = int(np.searchsorted(cand, ids_r[-1], side="right"))
+            if lo == hi:
+                continue
+            sub = cand[lo:hi]
+            at = np.searchsorted(ids_r, sub)
+            ok = (at < ids_r.size) & (ids_r[np.minimum(at, ids_r.size - 1)] == sub)
+            kids, kcounts, kpos = _positions_for_docs(row, at[ok])
             if kids.size == 0:
                 continue
-            ords_l.append(np.repeat(np.searchsorted(cand, kids), kcounts))
+            ords_l.append(np.repeat(lo + np.flatnonzero(ok), kcounts))
             pos_l.append(kpos.astype(np.int64))
         if not ords_l:
             return empty
