@@ -561,6 +561,25 @@ def _first_doc_udf():
     return first_doc
 
 
+def _positions_fold_done(out_dir: str) -> bool:
+    """Resume check: the positional fold committed (lineage row + meta)."""
+    import pyarrow.dataset as ds
+
+    lin_dir = os.path.join(out_dir, "lineage")
+    if not os.path.isdir(lin_dir) or not os.path.exists(
+        os.path.join(out_dir, "positions_meta.json")
+    ):
+        return False
+    dataset = ds.dataset(lin_dir, format="parquet")
+    if not dataset.schema.names:
+        return False
+    tbl = dataset.to_table(columns=["stage", "status"])
+    return any(
+        s == "compact_positions" and st == "done"
+        for s, st in zip(tbl["stage"].to_pylist(), tbl["status"].to_pylist())
+    )
+
+
 def _completed_compact_groups(out_dir: str) -> set[int]:
     """Driver-side lineage read: which tb-range groups already committed."""
     import pyarrow.dataset as ds
@@ -778,24 +797,26 @@ def compact_index(
         for p in group.parts
     ]
     if all(pos_have):
-        from olaf_spark.phrase import compact_positions
+        # resume: a committed fold (lineage row + meta) is not redone
+        if not _positions_fold_done(out_dir):
+            from olaf_spark.phrase import compact_positions
 
-        p_t0 = time.time()
-        compact_positions(
-            spark, [p.index_dir for p in group.parts], out_dir,
-            tombstones, cfg, n_merge_tasks=n_merge_tasks,
-        )
-        _write_lineage(
-            [
-                dict(
-                    stage="compact_positions", partition_id=-1,
-                    input_rows=-1, output_rows=-1,
-                    wall_s=time.time() - p_t0, rows_per_s=0.0,
-                    bytes_out=-1, status="done", ts=time.time(),
-                )
-            ],
-            lin_dir,
-        )
+            p_t0 = time.time()
+            compact_positions(
+                spark, [p.index_dir for p in group.parts], out_dir,
+                tombstones, cfg, n_merge_tasks=n_merge_tasks,
+            )
+            _write_lineage(
+                [
+                    dict(
+                        stage="compact_positions", partition_id=-1,
+                        input_rows=-1, output_rows=-1,
+                        wall_s=time.time() - p_t0, rows_per_s=0.0,
+                        bytes_out=-1, status="done", ts=time.time(),
+                    )
+                ],
+                lin_dir,
+            )
     elif any(pos_have):
         # phrase serving was ALREADY refusing on this group (a delta lacks
         # positions) — fold what can't be a complete answer? No: skip, and

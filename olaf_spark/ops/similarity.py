@@ -452,6 +452,40 @@ def _ann_vector_scan(spark, index_dir: str, sigs: list[str]) -> DataFrame:
     return scan
 
 
+def compact_ann_index(spark, index_dir: str, out_dir: str) -> str:
+    """Fold main + deltas (minus tombstones) into a fresh signature-
+    partitioned ANN index — the vector twin of incremental.compact_index,
+    and far simpler: signatures are corpus-independent, so the fold is ONE
+    filtered union scan rewritten partitionBy(sig); the frozen planes are
+    carried verbatim (config-freeze invariant). ann_meta.json lands LAST
+    as the commit marker — a killed fold leaves no loadable index."""
+    import json
+    import os
+
+    meta = _ann_meta(index_dir)
+    if os.path.exists(os.path.join(out_dir, "ann_meta.json")):
+        raise ValueError(
+            f"{out_dir} already holds a completed ANN index; compact into a "
+            "fresh out_dir (appends since then are not foldable into it)"
+        )
+    scan = None
+    for d in [index_dir] + _ann_delta_dirs(index_dir):
+        r = spark.read.parquet(os.path.join(d, "vectors"))
+        scan = r if scan is None else scan.unionByName(r)
+    ts = ann_tombstones(index_dir)
+    if ts:
+        scan = scan.where(~F.col("vec_id").isin([int(x) for x in ts]))
+    os.makedirs(out_dir, exist_ok=True)
+    scan.write.mode("overwrite").partitionBy("sig").parquet(
+        os.path.join(out_dir, "vectors")
+    )
+    tmp = os.path.join(out_dir, "ann_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(out_dir, "ann_meta.json"))
+    return out_dir
+
+
 def probe_signatures(query_vec: list[float], planes: np.ndarray, n_probes: int) -> list[str]:
     """Query signature + the n_probes-1 nearest buckets (multi-probe: flip
     the bits with the smallest |dot| margin first)."""

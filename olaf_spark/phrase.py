@@ -682,59 +682,72 @@ def _phrase_tfs(
 ) -> tuple[np.ndarray, np.ndarray]:
     """(doc_ids, phrase_tfs) over a SORTED candidate subset — decodes only
     these candidates' position bytes (scattered-gather), verifies adjacency
-    fully vectorized via packed (doc_ordinal, pos - i) key intersection.
-    Shared by the serving path's chunk loop and the batch verify stage."""
+    fully vectorized via packed (doc_ordinal << 32 | pos - i) key
+    intersection. Shared by the serving path's chunk loop and the batch
+    verify stage.
+
+    Terms are processed CHEAPEST-FIRST (by total position mass), and after
+    each term's key intersection the SURVIVING docs restrict the next
+    term's decode — in a mixed phrase the heaviest term only ever decodes
+    docs that already hold an aligned partial match of all lighter terms
+    (the decode twin of ordering WAND cursors by list length). A repeated
+    term decodes once and applies one adjustment per phrase position.
+    """
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
-    # decode ONCE per UNIQUE term (a repeated phrase term reuses its decode;
-    # only the position adjustment differs)
-    decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}  # (doc_ord, pos)
-    max_pos = 0
-    for t in dict.fromkeys(tids):
+    pos_of: dict[int, list[int]] = {}
+    for i, t in enumerate(tids):
+        pos_of.setdefault(t, []).append(i)
+    # cheap cost proxy from the headers: total occurrences in each term's
+    # rows (a vector sum per row; candidate-restricted counts would need
+    # the very search this ordering is trying to minimize)
+    order_terms = sorted(
+        pos_of, key=lambda t: sum(int(r["counts"].sum()) for r in data[t])
+    )
+    keys: np.ndarray | None = None
+    live = cand                              # current candidate subset (sorted)
+    live_ords = np.arange(cand.size)         # positions of live in cand
+    for t in order_terms:
         ords_l, pos_l = [], []
         for row in data[t]:
-            # search the (small, sorted) candidate set INTO the row, range-
-            # sliced to the row's doc bucket — per call cost O(sub log row),
-            # so the chunked serving loop's total work stays O(candidates),
-            # never O(chunks x row). The surviving slice positions double as
-            # the candidate ORDINALS (no second searchsorted).
+            # search the (small, sorted) live set INTO the row, range-sliced
+            # to the row's doc bucket — per call cost O(sub log row), so the
+            # chunked serving loop's total work stays O(candidates), never
+            # O(chunks x row). The surviving slice positions double as the
+            # candidate ORDINALS (no second searchsorted).
             ids_r = row["ids"]
             if not ids_r.size:
                 continue
-            lo = int(np.searchsorted(cand, ids_r[0]))
-            hi = int(np.searchsorted(cand, ids_r[-1], side="right"))
+            lo = int(np.searchsorted(live, ids_r[0]))
+            hi = int(np.searchsorted(live, ids_r[-1], side="right"))
             if lo == hi:
                 continue
-            sub = cand[lo:hi]
+            sub = live[lo:hi]
             at = np.searchsorted(ids_r, sub)
             ok = (at < ids_r.size) & (ids_r[np.minimum(at, ids_r.size - 1)] == sub)
             kids, kcounts, kpos = _positions_for_docs(row, at[ok])
             if kids.size == 0:
                 continue
-            ords_l.append(np.repeat(lo + np.flatnonzero(ok), kcounts))
+            ords_l.append(np.repeat(live_ords[lo + np.flatnonzero(ok)], kcounts))
             pos_l.append(kpos.astype(np.int64))
         if not ords_l:
             return empty
         ords = np.concatenate(ords_l)
         pos = np.concatenate(pos_l)
-        if pos.size:
-            max_pos = max(max_pos, int(pos.max()))
-        decoded[t] = (ords, pos)
-
-    # (doc ordinal, adjusted position) packed into one int64 key; positions
-    # are bounded per doc, so M = max_pos + n_terms + 2 makes the packing
-    # collision-free and ordinals keep the product in int64 range
-    M = max_pos + n_terms + 2
-    keys = None
-    for i, t in enumerate(tids):
-        ords, pos = decoded[t]
-        adj = pos - i
-        valid = adj >= 0
-        kk = ords[valid] * M + adj[valid]
-        keys = kk if keys is None else np.intersect1d(keys, kk)
-        if keys.size == 0:
-            return empty
-    ords, tfs = np.unique(keys // M, return_counts=True)
-    return cand[ords], tfs.astype(np.int64)
+        if pos.size and int(pos.max()) >= (1 << 32):
+            raise ValueError("token position exceeds 2^32 — unpackable doc")
+        for i in pos_of[t]:
+            adj = pos - i
+            valid = adj >= 0
+            kk = (ords[valid] << np.int64(32)) | adj[valid]
+            keys = kk if keys is None else np.intersect1d(keys, kk)
+            if keys.size == 0:
+                return empty
+        surviving = np.unique(keys >> np.int64(32))
+        live_ords = surviving
+        live = cand[surviving]
+    assert keys is not None
+    ords_f, tfs = np.unique(keys >> np.int64(32), return_counts=True)
+    return cand[ords_f], tfs.astype(np.int64)
 
 
 # --------------------------------------------------------------------------

@@ -74,6 +74,59 @@ def test_build_and_query_jobs_end_to_end(spark, tmp_path):
 
 
 @pytest.mark.slow
+def test_ann_jobs_end_to_end(spark, tmp_path):
+    """ANN index lifecycle through the spark-submit surface: build half,
+    append half, batch-query the live group, delete a hit, compact, and
+    check the compacted answers equal the live group's."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(120)]
+    emb_a = str(tmp_path / "ea")
+    emb_b = str(tmp_path / "eb")
+    spark.createDataFrame(
+        [v for v in vecs if v[0] % 2 == 0], "vec_id long, embedding array<double>"
+    ).write.parquet(emb_a)
+    spark.createDataFrame(
+        [v for v in vecs if v[0] % 2 == 1], "vec_id long, embedding array<double>"
+    ).write.parquet(emb_b)
+    qfile = str(tmp_path / "q")
+    spark.createDataFrame(
+        [(0, vecs[0][1]), (1, vecs[1][1])], "query_id long, embedding array<double>"
+    ).write.parquet(qfile)
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    ix = str(tmp_path / "ann")
+
+    def run(args_):
+        r = subprocess.run(
+            [sys.executable, f"{REPO}/jobs/ann_job.py"] + args_,
+            capture_output=True, text=True, env=env, timeout=600,
+        )
+        assert r.returncode == 0, (args_, r.stderr[-2000:])
+        return [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")]
+
+    b = run(["build", "--embeddings", emb_a, "--index", ix, "--n-planes", "4"])[0]
+    assert b["n_vectors"] == 60
+    a = run(["append", "--embeddings", emb_b, "--index", ix])[0]
+    assert a["n_vectors"] == 60
+    live = run(["query", "--index", ix, "--queries", qfile, "--k", "5"])
+    assert live and {r["query_id"] for r in live} == {0, 1}
+    victim = live[0]["vec_id"]
+    d = run(["delete", "--index", ix, "--vec-ids", str(victim)])[0]
+    assert d["tombstones_now"] == 1
+    live2 = run(["query", "--index", ix, "--queries", qfile, "--k", "5"])
+    assert victim not in {r["vec_id"] for r in live2}
+    out = str(tmp_path / "ann2")
+    run(["compact", "--index", ix, "--out", out])
+    post = run(["query", "--index", out, "--queries", qfile, "--k", "5"])
+    key = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine_sim"]) for r in rows
+    )
+    assert key(post) == key(live2)
+
+
+@pytest.mark.slow
 def test_maintenance_cycle_jobs_end_to_end(spark, tmp_path):
     """The full operator story through spark-submit entry points: build half
     the corpus, APPEND the other half (maintain_job), query the live group

@@ -222,6 +222,42 @@ def test_ann_index_append_and_tombstones(spark, emb, tmp_path):
     assert restored == want
 
 
+def test_ann_compaction_folds_deltas_and_tombstones(spark, emb, tmp_path):
+    """compact_ann_index: main + delta minus tombstones -> ONE fresh
+    sig-partitioned index; probes equal the live group's, the deleted
+    vector is PHYSICALLY gone (the fresh index has no tombstones), and a
+    completed out_dir refuses reuse."""
+    import pytest as _pytest
+
+    from olaf_spark.ops.similarity import (
+        ann_topk_indexed,
+        append_ann_index,
+        build_ann_index,
+        compact_ann_index,
+        delete_vectors,
+    )
+
+    df, base = emb
+    live = str(tmp_path / "alive")
+    build_ann_index(spark, df.where("vec_id % 2 = 0"), live, n_planes=4, seed=42)
+    append_ann_index(spark, df.where("vec_id % 2 = 1"), live)
+    q = [float(x) for x in base[0]]
+    victim = ann_topk_indexed(spark, live, q, k=5, n_probes=3).collect()[0]["vec_id"]
+    delete_vectors(live, [victim])
+    want = [(r["vec_id"], r["cosine_sim"])
+            for r in ann_topk_indexed(spark, live, q, k=5, n_probes=3).collect()]
+    out = str(tmp_path / "acomp")
+    compact_ann_index(spark, live, out)
+    got = [(r["vec_id"], r["cosine_sim"])
+           for r in ann_topk_indexed(spark, out, q, k=5, n_probes=3).collect()]
+    assert got == want and all(v != victim for v, _ in got)
+    import os
+
+    assert not os.path.exists(os.path.join(out, "tombstones.json"))
+    with _pytest.raises(ValueError, match="completed"):
+        compact_ann_index(spark, live, out)
+
+
 def test_ann_batch_matches_per_query_indexed(spark, emb, tmp_path):
     """Batch ANN (one job, broadcast probes) must return exactly what the
     per-query indexed path returns for each query, and prune partitions at
