@@ -51,6 +51,12 @@ def main() -> None:
         "positions). score = phrase occurrence count.",
     )
     ap.add_argument(
+        "--min-tf", type=int, default=1,
+        help="phrase quality gate (Olaf minMatchCount analogue): only docs "
+        "with >= this many phrase occurrences are returned; with --phrase "
+        "it seeds the skip threshold so low-bound candidates never decode",
+    )
+    ap.add_argument(
         "--fuzzy",
         action="store_true",
         help="widen every query term to its edit-distance-1 neighborhood "
@@ -94,7 +100,8 @@ def main() -> None:
             from olaf_spark.phrase import batch_phrase_topk
 
             out_df = batch_phrase_topk(
-                spark, args.index, list(enumerate(queries)), k=args.k, cfg=index.cfg
+                spark, args.index, list(enumerate(queries)), k=args.k,
+                cfg=index.cfg, min_tf=args.min_tf,
             ).select(
                 "query_id", "rank", "doc_id",
                 F.col("phrase_tf").cast("double").alias("score"),
@@ -111,7 +118,10 @@ def main() -> None:
         rows = []
         for qid, q in enumerate(queries):
             for rank, (doc_id, tf) in enumerate(
-                phrase_topk(args.index, q, k=args.k, cfg=index.cfg), start=1
+                phrase_topk(
+                    args.index, q, k=args.k, cfg=index.cfg, min_tf=args.min_tf
+                ),
+                start=1,
             ):
                 rows.append((qid, rank, doc_id, float(tf)))
         if args.out:

@@ -582,12 +582,37 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pdf, "doc_id long, phrase_tf long, rank long")
 
 
-def _sql_phrase(terms: list[str], k: int) -> str:
+PHRASE_MIN_TF = 2
+
+
+def q_phrase_match_thresholded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase quality gate (Olaf minMatchCount analogue): min_tf seeds the
+    WAND-style skip threshold — candidates whose min-term-tf bound can't
+    reach the floor are never decoded; the oracle is a HAVING clause."""
+    import pandas as pd
+
+    from olaf_spark.phrase import phrase_topk
+
+    hits = phrase_topk(
+        _get_phrase_dir(spark, sf_dir), PHRASE_QUERY, k=K, min_tf=PHRASE_MIN_TF
+    )
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d_ for d_, _ in hits],
+            "phrase_tf": [int(t) for _, t in hits],
+            "rank": list(range(1, len(hits) + 1)),
+        }
+    )
+    return spark.createDataFrame(pdf, "doc_id long, phrase_tf long, rank long")
+
+
+def _sql_phrase(terms: list[str], k: int, min_tf: int = 1) -> str:
     joins = "\n  ".join(
         f"JOIN tokpos t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.pos = t0.pos + {i} "
         f"AND t{i}.term = '{t}'"
         for i, t in enumerate(terms[1:], start=1)
     )
+    having = f"\n  HAVING count(*) >= {min_tf}" if min_tf > 1 else ""
     return f"""
 WITH tokpos AS (
   SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) - 1 AS pos
@@ -603,7 +628,7 @@ hits AS (
   FROM tokpos t0
   {joins}
   WHERE t0.term = '{terms[0]}'
-  GROUP BY t0.doc_id
+  GROUP BY t0.doc_id{having}
 )
 SELECT doc_id, phrase_tf,
        row_number() OVER (ORDER BY phrase_tf DESC, doc_id ASC)::BIGINT AS rank
@@ -612,6 +637,7 @@ FROM hits ORDER BY phrase_tf DESC, doc_id ASC LIMIT {k}
 
 
 SQL_PHRASE_MATCH = _sql_phrase(PHRASE_QUERY.split(), K)
+SQL_PHRASE_MATCH_THRESHOLDED = _sql_phrase(PHRASE_QUERY.split(), K, PHRASE_MIN_TF)
 
 # batch phrase: B phrases answered by ONE Spark job over the positional rows
 # (olaf_spark/phrase.batch_phrase_topk — fan-out on a broadcast subscription
@@ -1453,6 +1479,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_incremental": q_bm25_incremental,
     "fragment_windows": q_fragment_windows,
     "phrase_match": q_phrase_match,
+    "phrase_match_thresholded": q_phrase_match_thresholded,
     "phrase_batch": q_phrase_batch,
     "result_meta_join": q_result_meta_join,
     "extract_roundtrip": q_extract_roundtrip,
@@ -1499,6 +1526,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_incremental": SQL_BM25_TOPK,
     "fragment_windows": SQL_FRAGMENT_WINDOWS,
     "phrase_match": SQL_PHRASE_MATCH,
+    "phrase_match_thresholded": SQL_PHRASE_MATCH_THRESHOLDED,
     "phrase_batch": SQL_PHRASE_BATCH,
     "result_meta_join": SQL_RESULT_META_JOIN,
     "extract_roundtrip": SQL_EXTRACT_ROUNDTRIP,

@@ -527,6 +527,7 @@ def phrase_topk(
     phrase: str,
     k: int = 10,
     cfg: EngineConfig | None = None,
+    min_tf: int = 1,
     _stats: dict | None = None,
 ) -> list[tuple[int, int]]:
     """Top-k (doc_id, phrase_tf) of docs containing the EXACT token
@@ -537,6 +538,12 @@ def phrase_topk(
     head-head phrase stops after the high-bound chunks instead of decoding
     every co-occurring doc (_stats, if given, receives n_candidates /
     n_decoded for tests and benchmarks).
+
+    min_tf > 1 is the phrase twin of Olaf's minMatchCount quality gate
+    (olaf_config.c:89-94) AND of bm25_topk_thresholded's θ: it seeds the
+    early-termination threshold, so candidates whose min-term-tf bound
+    can't reach the floor are never decoded at all — a skip criterion,
+    not a post-filter.
     """
     import pyarrow.dataset as ds
 
@@ -645,14 +652,20 @@ def phrase_topk(
     res_docs: list[np.ndarray] = []
     res_tfs: list[np.ndarray] = []
     n_res = 0
-    theta = 1  # a doc needs >= 1 phrase occurrence to appear at all
+    # a doc needs >= max(1, min_tf) phrase occurrences to appear at all;
+    # min_tf > 1 starts the scan with a raised bar, so low-bound candidates
+    # are pruned BEFORE any position byte is decoded
+    theta = max(1, int(min_tf))
     n_decoded = 0
     for c0 in range(0, cand.size, chunk):
-        if n_res >= k and int(ub[order[c0]]) < theta:
+        if (n_res >= k or theta > 1) and int(ub[order[c0]]) < theta:
             break
         sub = np.sort(cand[order[c0 : c0 + chunk]])
         n_decoded += sub.size
         docs_c, tfs_c = _phrase_tfs(sub, data, tids, len(qterms))
+        if min_tf > 1 and docs_c.size:
+            keep_tf = tfs_c >= min_tf
+            docs_c, tfs_c = docs_c[keep_tf], tfs_c[keep_tf]
         if docs_c.size:
             res_docs.append(docs_c)
             res_tfs.append(tfs_c)
@@ -870,6 +883,7 @@ def batch_phrase_topk(
     queries,
     k: int = 10,
     cfg: EngineConfig | None = None,
+    min_tf: int = 1,
 ) -> DataFrame:
     """(query_id, doc_id, phrase_tf, rank) — exact-phrase top-k for EVERY
     query in the batch as ONE distributed plan over the positional rows
@@ -937,6 +951,8 @@ def batch_phrase_topk(
             _make_phrase_verify(bsubs), "query_id long, doc_id long, phrase_tf long"
         )
     )
+    if min_tf > 1:  # quality gate rides the plan before the top-k window
+        verified = verified.where(F.col("phrase_tf") >= int(min_tf))
     w = Window.partitionBy("query_id").orderBy(
         F.col("phrase_tf").desc(), F.col("doc_id").asc()
     )

@@ -178,6 +178,44 @@ def test_positions_survive_compaction(spark, positional, tmp_path):
         assert all(d != victim for d, _ in got)
 
 
+def test_phrase_min_tf_threshold_prunes_before_decode(positional):
+    """min_tf (Olaf minMatchCount twin): results drop below-threshold docs
+    exactly like a post-filter of the unthresholded answer, AND candidates
+    whose min-term-tf bound can't reach the floor are never decoded (the
+    skip criterion, not a post-filter)."""
+    rows, d = positional
+    want_tf = py_phrase_tf(rows, ["w2", "w3"])
+    for min_tf in (2, 3):
+        want = sorted(
+            ((doc, tf) for doc, tf in want_tf.items() if tf >= min_tf),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        st: dict = {}
+        got = phrase_topk(d, "w2 w3", k=10, min_tf=min_tf, _stats=st)
+        assert got == want, (min_tf, got, want)
+        st0: dict = {}
+        phrase_topk(d, "w2 w3", k=10, _stats=st0)
+        assert st["n_decoded"] <= st0["n_decoded"]
+    # a floor nothing reaches: empty result, (almost) nothing decoded
+    st: dict = {}
+    assert phrase_topk(d, "w2 w3", k=10, min_tf=10**6, _stats=st) == []
+    assert st["n_decoded"] == 0
+
+
+def test_batch_phrase_min_tf(spark, positional):
+    """Batch phrase min_tf gate agrees with the serving path per query."""
+    from olaf_spark.phrase import batch_phrase_topk
+
+    _, d = positional
+    batch = [(0, "w2 w3"), (1, "w3 w2 w2")]
+    got = batch_phrase_topk(spark, d, batch, k=10, min_tf=2).collect()
+    per_q: dict[int, list[tuple[int, int]]] = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        per_q.setdefault(r["query_id"], []).append((r["doc_id"], r["phrase_tf"]))
+    for qid, text in batch:
+        assert per_q.get(qid, []) == phrase_topk(d, text, k=10, min_tf=2), (qid, text)
+
+
 def test_batch_phrase_matches_serving(spark, positional):
     """Distributed batch phrase (r4): B phrases as ONE Spark job must agree
     per query with driver-side phrase_topk — including repeated-term
