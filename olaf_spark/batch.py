@@ -60,6 +60,11 @@ def _subs_for(queries: Iterable[tuple[int, str]], cfg) -> dict[int, list[tuple[i
     per_query: dict[int, list[str]] = {}
     vocab: set[str] = set()
     for qid, text in queries:
+        if int(qid) in per_query:
+            # refuse rather than silently overwrite (or double-count — the
+            # round-3 append semantics emitted duplicate partials for terms
+            # shared by the two texts): query_id is the result key
+            raise ValueError(f"duplicate query_id {int(qid)} in batch")
         terms = sorted(set(tokenize_py(text, cfg)))
         per_query[int(qid)] = terms
         vocab.update(terms)

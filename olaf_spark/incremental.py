@@ -792,10 +792,13 @@ def compact_index(
     # lands, with no manual positions rebuild and no dark window. Runs
     # before stats.json so the overall commit marker covers it; a resume
     # that died mid-fold simply re-runs the fold (mode=overwrite).
-    pos_have = [
-        os.path.exists(os.path.join(p.index_dir, "positions_meta.json"))
-        for p in group.parts
-    ]
+    # positions_usable (not bare existence): a v2-format part must degrade
+    # to the skip branch below — raising inside compact_positions AFTER the
+    # postings groups committed but BEFORE stats.json would leave the
+    # compaction permanently un-completable (every resume re-raises)
+    from olaf_spark.phrase import positions_usable
+
+    pos_have = [positions_usable(p.index_dir) for p in group.parts]
     if all(pos_have):
         # resume: a committed fold (lineage row + meta) is not redone
         if not _positions_fold_done(out_dir):
@@ -823,9 +826,9 @@ def compact_index(
         # say so; build_positions on the compacted index restores service
         print(
             f"compact_index: only {sum(pos_have)}/{len(pos_have)} parts carry "
-            "positional rows — positions NOT folded (phrase queries were "
-            "already refusing on this group); run build_positions on "
-            f"{out_dir} to restore phrase serving"
+            "positional rows in the current layout — positions NOT folded "
+            "(phrase queries were already refusing on this group); run "
+            f"build_positions on {out_dir} to restore phrase serving"
         )
 
     # chunk ordinals are task-local (a split term emits chunk 0 in several

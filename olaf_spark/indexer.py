@@ -583,7 +583,10 @@ def read_tombstones_arr(index_dir: str) -> np.ndarray:
 
         return pq.read_table(pp)["doc_id"].to_numpy().astype(np.int64)
     with open(jp) as f:
-        return np.asarray(json.load(f), dtype=np.int64)
+        # np.sort: the engine writes the list sorted, but the whole point
+        # of this fallback is a HAND-EDITED (or older-engine) json — an
+        # unsorted one would silently break every searchsorted filter
+        return np.sort(np.asarray(json.load(f), dtype=np.int64))
 
 
 def sorted_tombstone_arr(ts) -> np.ndarray | None:

@@ -371,6 +371,14 @@ def append_ann_index(
 
     meta = _ann_meta(index_dir)
     planes = hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
+    # empty-batch guard BEFORE the delta claim: an empty partitionBy write
+    # produces only _SUCCESS (unreadable — UNABLE_TO_INFER_SCHEMA), and the
+    # commit marker would poison every later probe and compaction
+    if emb.limit(1).count() == 0:
+        raise ValueError(
+            f"refusing to append an empty vector batch to {index_dir}: "
+            "emb has no rows"
+        )
     root = os.path.join(index_dir, "deltas")
     os.makedirs(root, exist_ok=True)
     n = len(os.listdir(root))  # count ALL entries incl. in-flight claims

@@ -59,8 +59,10 @@ from olaf_spark.indexer import (
     bucket_expr,
     bucket_of_np,
     shard_from_id_col,
+    sorted_tombstone_arr,
     term_id_col,
     term_id_py,
+    tombstone_keep_mask,
 )
 from olaf_spark.tokenize import tokenize_py, tokens_df
 
@@ -200,7 +202,12 @@ def build_positions(
     pos_dir = os.path.join(out_dir, "positions")
     packed.write.mode("overwrite").partitionBy("tb").parquet(pos_dir)
     cfg.save(out_dir)
-    with open(os.path.join(out_dir, "positions_meta.json"), "w") as f:
+    # tmp + rename: the meta IS the commit marker (_check_positions refuses
+    # without it) — a crash mid-dump must not leave a truncated json that
+    # turns the clean 'rebuild with build_positions' refusal into a
+    # JSONDecodeError on every phrase query
+    meta_tmp = os.path.join(out_dir, "positions_meta.json.tmp")
+    with open(meta_tmp, "w") as f:
         json.dump(
             {
                 "n_buckets": n_buckets,
@@ -211,10 +218,11 @@ def build_positions(
             },
             f,
         )
+    os.replace(meta_tmp, os.path.join(out_dir, "positions_meta.json"))
     return out_dir
 
 
-def _make_fold_positions(lo: int, width: int, n_buckets: int, ts_sorted):
+def _make_fold_positions(lo: int, width: int, n_buckets: int, bts):
     """mapInPandas fn for compaction: each task's slice of positional rows
     (sorted by term_id, first_doc) -> folded rows under the COMPACTED
     corpus's bucket layout. Docs are disjoint across parts, and every doc's
@@ -224,10 +232,15 @@ def _make_fold_positions(lo: int, width: int, n_buckets: int, ts_sorted):
     the new buffer (one vectorized fancy-index per term). The same
     doc-range-parallel shape as the postings fold (_compact_chunk): a head
     term's rows may split across tasks, yielding multiple doc-disjoint
-    output rows per (term, bucket), which the read path already merges."""
+    output rows per (term, bucket), which the read path already merges.
+
+    bts: SparkContext BROADCAST of the sorted tombstone array (or None) —
+    by handle, not value: closure capture would re-ship a multi-MB delete
+    set into every one of the fold's (up to thousands of) task launches."""
     import pandas as pd
 
     def _fold_chunk(pdf: pd.DataFrame) -> pd.DataFrame | None:
+        ts_sorted = bts.value
         terms = pdf["term_id"].to_numpy(dtype=np.int64)
         id_bins = pdf["doc_ids_bin"].to_numpy()
         cnt_bins = pdf["pos_counts_bin"].to_numpy()
@@ -263,11 +276,7 @@ def _make_fold_positions(lo: int, width: int, n_buckets: int, ts_sorted):
             big = b"".join(bufs)
             order = np.argsort(ids, kind="stable")
             if ts_sorted is not None and ts_sorted.size:
-                at = np.searchsorted(ts_sorted, ids[order])
-                dead = (at < ts_sorted.size) & (
-                    ts_sorted[np.minimum(at, ts_sorted.size - 1)] == ids[order]
-                )
-                order = order[~dead]
+                order = order[tombstone_keep_mask(ids[order], ts_sorted)]
             if order.size == 0:
                 continue  # every posting of this term slice tombstoned away
             ids_f = ids[order]
@@ -359,9 +368,7 @@ def compact_positions(
     hi = max(m["hi"] for m in metas)
     n_buckets = max(m["n_buckets"] for m in metas)
     width = max(1, (hi - lo) // n_buckets + 1)
-    ts_sorted = (
-        np.asarray(sorted(tombstones), dtype=np.int64) if tombstones else None
-    )
+    bts = spark.sparkContext.broadcast(sorted_tombstone_arr(tombstones))
 
     from olaf_spark.incremental import _first_doc_udf
 
@@ -379,7 +386,7 @@ def compact_positions(
         .repartitionByRange(n_merge_tasks, "tb", "term_id", "first_doc")
         .sortWithinPartitions("term_id", "first_doc")
         .mapInPandas(
-            _make_fold_positions(lo, width, n_buckets, ts_sorted), POSITIONS_SCHEMA
+            _make_fold_positions(lo, width, n_buckets, bts), POSITIONS_SCHEMA
         )
         .withColumn("tb", shard_from_id_col(F.col("term_id"), cfg.n_segments))
     )
@@ -510,6 +517,20 @@ def _check_positions(d: str) -> None:
         )
 
 
+def positions_usable(d: str) -> bool:
+    """True when the dir carries positional rows in THIS engine's layout
+    (exists + format_version match) — the graceful-degradation twin of
+    _check_positions for callers that should skip, not raise (compaction)."""
+    import json
+
+    meta_path = os.path.join(d, "positions_meta.json")
+    try:
+        with open(meta_path) as f:
+            return json.load(f).get("format_version", 1) == POSITIONS_FORMAT_VERSION
+    except (FileNotFoundError, json.JSONDecodeError):
+        return False
+
+
 def _union_tombstones(part_dirs: list[str]) -> set[int]:
     import json
 
@@ -604,8 +625,6 @@ def phrase_topk(
     # union of part tombstones drops candidates before any position decode
     ts = _union_tombstones(part_dirs)
     if ts and cand.size:
-        from olaf_spark.indexer import sorted_tombstone_arr, tombstone_keep_mask
-
         cand = cand[tombstone_keep_mask(cand, sorted_tombstone_arr(ts))]
     if cand.size == 0:
         return []
@@ -856,11 +875,7 @@ def _make_phrase_verify(bsubs):
             dset = np.unique(np.concatenate([r["ids"] for r in data[p]]))
             cand = dset if cand is None else np.intersect1d(cand, dset, assume_unique=True)
         if ts_sorted is not None and ts_sorted.size and cand.size:
-            at = np.searchsorted(ts_sorted, cand)
-            dead = (at < ts_sorted.size) & (
-                ts_sorted[np.minimum(at, ts_sorted.size - 1)] == cand
-            )
-            cand = cand[~dead]
+            cand = cand[tombstone_keep_mask(cand, ts_sorted)]
         if cand.size == 0:
             return empty
         docs, tfs = _phrase_tfs(cand, data, list(range(nt)), nt)
@@ -918,7 +933,13 @@ def batch_phrase_topk(
 
     subs: dict[int, list[tuple[int, int]]] = {}
     nterms: dict[int, int] = {}
+    seen_qids: set[int] = set()
     for qid, text in queries:
+        if int(qid) in seen_qids:
+            # two phrases under one id would interleave their subscriptions
+            # into one verify group and produce garbage — refuse loudly
+            raise ValueError(f"duplicate query_id {int(qid)} in phrase batch")
+        seen_qids.add(int(qid))
         qterms = tokenize_py(text, cfg)  # ORDER MATTERS — not deduped
         if not qterms:
             continue

@@ -430,9 +430,15 @@ def test_tombstone_sidecar_and_searchsorted_mask(tmp_path):
     want = np.array([int(i) not in dead for i in ids])
     assert (keep == want).all()
 
-    # a json written by hand (or an older engine) AFTER the sidecar wins
+    # a json written by hand (or an older engine) AFTER the sidecar wins —
+    # and an UNSORTED hand-edit must come back sorted (the searchsorted
+    # filters silently misclassify on unsorted input)
     with open(p, "w") as f:
-        json.dump([1, 2], f)
+        json.dump([5, 1, 3], f)
     t = time.time() + 10
     os.utime(p, (t, t))
-    assert read_tombstones_arr(str(tmp_path)).tolist() == [1, 2]
+    arr3 = read_tombstones_arr(str(tmp_path))
+    assert arr3.tolist() == [1, 3, 5]
+    assert tombstone_keep_mask(np.array([1, 2, 3, 4, 5]), arr3).tolist() == [
+        False, True, False, True, False,
+    ]

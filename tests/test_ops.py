@@ -202,6 +202,13 @@ def test_ann_index_append_and_tombstones(spark, emb, tmp_path):
     build_ann_index(spark, df.where("vec_id % 2 = 0"), live_dir, n_planes=4, seed=42)
     append_ann_index(spark, df.where("vec_id % 2 = 1"), live_dir)
 
+    # an empty batch must be refused BEFORE the delta claim — an empty
+    # partitionBy write is unreadable and would poison every later probe
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty"):
+        append_ann_index(spark, df.where("vec_id < 0"), live_dir)
+
     q = [float(x) for x in base[0]]
     want = [(r["vec_id"], r["cosine_sim"])
             for r in ann_topk_indexed(spark, full_dir, q, k=5, n_probes=3).collect()]
