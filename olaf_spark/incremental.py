@@ -799,6 +799,10 @@ def compact_index(
     from olaf_spark.phrase import positions_usable
 
     pos_have = [positions_usable(p.index_dir) for p in group.parts]
+    pos_exist = [
+        os.path.exists(os.path.join(p.index_dir, "positions_meta.json"))
+        for p in group.parts
+    ]
     if all(pos_have):
         # resume: a committed fold (lineage row + meta) is not redone
         if not _positions_fold_done(out_dir):
@@ -820,12 +824,15 @@ def compact_index(
                 ],
                 lin_dir,
             )
-    elif any(pos_have):
-        # phrase serving was ALREADY refusing on this group (a delta lacks
-        # positions) — fold what can't be a complete answer? No: skip, and
-        # say so; build_positions on the compacted index restores service
+    elif any(pos_exist):
+        # SOME parts have a positions_meta.json but not all are usable
+        # (a positionless delta, a stale pre-v3 layout, or a corrupt meta)
+        # — phrase serving was already refusing on this group; skip the
+        # fold and SAY so (keyed on existence, not usability: an all-stale
+        # group must not be silently indistinguishable from
+        # 'positions were never built')
         print(
-            f"compact_index: only {sum(pos_have)}/{len(pos_have)} parts carry "
+            f"compact_index: {sum(pos_have)}/{len(pos_have)} parts carry "
             "positional rows in the current layout — positions NOT folded "
             "(phrase queries were already refusing on this group); run "
             f"build_positions on {out_dir} to restore phrase serving"

@@ -483,6 +483,15 @@ def compact_ann_index(spark, index_dir: str, out_dir: str) -> str:
     ts = ann_tombstones(index_dir)
     if ts:
         scan = scan.where(~F.col("vec_id").isin([int(x) for x in ts]))
+    # the same empty-partitionBy-write poison append_ann_index guards
+    # against is reachable HERE when every vector is tombstoned: the write
+    # would emit only _SUCCESS yet the meta commit marker would claim a
+    # valid index — refuse instead of committing an unreadable layout
+    if scan.limit(1).count() == 0:
+        raise ValueError(
+            f"refusing to compact {index_dir}: no live vectors remain "
+            "(every vector is tombstoned or the parts are empty)"
+        )
     os.makedirs(out_dir, exist_ok=True)
     scan.write.mode("overwrite").partitionBy("sig").parquet(
         os.path.join(out_dir, "vectors")

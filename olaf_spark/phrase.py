@@ -520,27 +520,55 @@ def _check_positions(d: str) -> None:
 def positions_usable(d: str) -> bool:
     """True when the dir carries positional rows in THIS engine's layout
     (exists + format_version match) — the graceful-degradation twin of
-    _check_positions for callers that should skip, not raise (compaction)."""
+    _check_positions for callers that should skip, not raise (compaction).
+    Any malformed meta (truncated json, wrong JSON shape) counts as not
+    usable — this function must NEVER raise."""
     import json
 
     meta_path = os.path.join(d, "positions_meta.json")
     try:
         with open(meta_path) as f:
-            return json.load(f).get("format_version", 1) == POSITIONS_FORMAT_VERSION
+            meta = json.load(f)
+        return (
+            isinstance(meta, dict)
+            and meta.get("format_version", 1) == POSITIONS_FORMAT_VERSION
+        )
     except (FileNotFoundError, json.JSONDecodeError):
         return False
 
 
-def _union_tombstones(part_dirs: list[str]) -> set[int]:
-    import json
+#: per-dir tombstone-array cache keyed by (json mtime, sidecar mtime) — the
+#: phrase paths take directory strings (no Index instance to cache on), and
+#: without this every phrase query re-reads each part's delete set
+_TS_ARR_CACHE: dict[str, tuple[tuple, np.ndarray]] = {}
 
-    ts: set[int] = set()
+
+def _union_tombstones_arr(part_dirs: list[str]):
+    """Sorted union of every part's tombstone array (None when no deletes)
+    — reads the parquet sidecar via indexer.read_tombstones_arr (no JSON
+    parse of a large delete set per query) and caches per dir by mtime."""
+    from olaf_spark.indexer import read_tombstones_arr
+
+    arrs = []
     for d in part_dirs:
-        ts_path = os.path.join(d, "tombstones.json")
-        if os.path.exists(ts_path):
-            with open(ts_path) as f:
-                ts |= set(json.load(f))
-    return ts
+        sig = []
+        for name in ("tombstones.json", "tombstones.parquet"):
+            try:
+                sig.append(os.path.getmtime(os.path.join(d, name)))
+            except FileNotFoundError:
+                sig.append(None)
+        sig = tuple(sig)
+        hit = _TS_ARR_CACHE.get(d)
+        if hit is None or hit[0] != sig:
+            _TS_ARR_CACHE[d] = hit = (sig, read_tombstones_arr(d))
+        if hit[1].size:
+            arrs.append(hit[1])
+    if not arrs:
+        return None
+    out = arrs[0]
+    for a in arrs[1:]:
+        out = np.union1d(out, a)
+    return out
 
 
 def phrase_topk(
@@ -623,9 +651,9 @@ def phrase_topk(
             cand = d[ok]
     # merge-on-read deletes apply here like every other query path: the
     # union of part tombstones drops candidates before any position decode
-    ts = _union_tombstones(part_dirs)
-    if ts and cand.size:
-        cand = cand[tombstone_keep_mask(cand, sorted_tombstone_arr(ts))]
+    ts_arr = _union_tombstones_arr(part_dirs)
+    if ts_arr is not None and cand.size:
+        cand = cand[tombstone_keep_mask(cand, ts_arr)]
     if cand.size == 0:
         return []
 
@@ -950,8 +978,7 @@ def batch_phrase_topk(
     if not subs:
         return spark.createDataFrame([], out_schema)
 
-    ts = _union_tombstones(part_dirs)
-    ts_sorted = np.asarray(sorted(ts), dtype=np.int64) if ts else None
+    ts_sorted = _union_tombstones_arr(part_dirs)
     bsubs = spark.sparkContext.broadcast((subs, nterms, ts_sorted))
 
     tids_all = sorted(subs)

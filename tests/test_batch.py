@@ -56,6 +56,14 @@ def test_batch_matches_serving_scorer_exactly(spark, index):
             assert math.isclose(hs, ws, rel_tol=1e-12, abs_tol=1e-15), (qid, hd, hs, ws)
 
 
+def test_batch_rejects_duplicate_query_ids(spark, index):
+    """query_id is the result key: a duplicate would silently overwrite
+    (or, in the round-3 append semantics, double-count shared terms) —
+    refused loudly instead."""
+    with pytest.raises(ValueError, match="duplicate query_id"):
+        batch_query_index(spark, index, [(1, "w2"), (1, "w3")], k=K)
+
+
 def test_no_term_query_absent_from_output(spark, index):
     got = collect_batch(spark, index, QUERIES)
     assert 4 not in got  # no corpus term -> no rows for that query

@@ -202,6 +202,36 @@ def test_phrase_min_tf_threshold_prunes_before_decode(positional):
     assert st["n_decoded"] == 0
 
 
+def test_batch_phrase_rejects_duplicate_query_ids(spark, positional):
+    """Two phrases under one query_id would interleave their subscriptions
+    into one verify group and produce garbage — refused loudly (also for a
+    duplicate where the first phrase tokenized to nothing)."""
+    from olaf_spark.phrase import batch_phrase_topk
+
+    _, d = positional
+    with pytest.raises(ValueError, match="duplicate query_id"):
+        batch_phrase_topk(spark, d, [(1, "w2 w3"), (1, "w5")], k=5)
+    with pytest.raises(ValueError, match="duplicate query_id"):
+        batch_phrase_topk(spark, d, [(1, ""), (1, "w5")], k=5)
+
+
+def test_positions_usable_never_raises(tmp_path):
+    """Graceful-degradation contract: malformed metas (missing, truncated,
+    wrong JSON shape) are all 'not usable', never an exception — a raise
+    here would make a half-finished compaction permanently un-completable."""
+    from olaf_spark.phrase import positions_usable
+
+    d = str(tmp_path)
+    assert not positions_usable(d)  # missing
+    meta = tmp_path / "positions_meta.json"
+    meta.write_text("{trunca")
+    assert not positions_usable(d)  # truncated
+    meta.write_text("[1, 2]")
+    assert not positions_usable(d)  # valid JSON, wrong shape
+    meta.write_text('{"format_version": 2}')
+    assert not positions_usable(d)  # stale layout
+
+
 def test_batch_phrase_min_tf(spark, positional):
     """Batch phrase min_tf gate agrees with the serving path per query."""
     from olaf_spark.phrase import batch_phrase_topk
