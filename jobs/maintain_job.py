@@ -69,6 +69,13 @@ def main() -> None:
         help="also build the delta's positional rows (keeps phrase queries "
         "serving through the delta phase)",
     )
+    p_app.add_argument(
+        "--with-bigrams", action="store_true",
+        help="also build the delta's bigram side index under the base's "
+        "inherited head set (keeps head-head phrase queries on the pair "
+        "fast path through the delta phase; requires the base to carry "
+        "bigrams)",
+    )
 
     p_pos = sub.add_parser(
         "positions", help="build the positional side index (phrase queries)"
@@ -77,6 +84,22 @@ def main() -> None:
     p_pos.add_argument("--pages", required=True)
     p_pos.add_argument("--from-html", action="store_true")
     p_pos.add_argument("--n-buckets", type=int, default=16)
+
+    p_big = sub.add_parser(
+        "bigrams",
+        help="build the bigram (next-word) side index for head-head phrase "
+        "serving — Olaf's combination-hash move in text "
+        "(olaf_fp_extractor.c:92-145)",
+    )
+    p_big.add_argument("--index", required=True)
+    p_big.add_argument("--pages", required=True)
+    p_big.add_argument("--from-html", action="store_true")
+    p_big.add_argument("--n-buckets", type=int, default=16)
+    p_big.add_argument(
+        "--min-df", type=int, default=None,
+        help="head threshold: only pairs whose members BOTH have df >= this "
+        "are indexed (default max(16, n_docs // 100))",
+    )
 
     p_cmp = sub.add_parser("compact", help="fold main + deltas into a fresh index")
     p_cmp.add_argument("--index", required=True)
@@ -101,6 +124,7 @@ def main() -> None:
             spark, _load_pages(spark, args), args.index,
             n_buckets=args.n_buckets, delta_name=args.delta_name,
             with_positions=args.with_positions,
+            with_bigrams=args.with_bigrams,
         )
         print(json.dumps({
             "cmd": "append", "delta_dir": delta.index_dir,
@@ -119,6 +143,21 @@ def main() -> None:
         )
         print(json.dumps({
             "cmd": "positions", "index": args.index,
+            "wall_s": round(time.time() - t0, 2),
+        }))
+    elif args.cmd == "bigrams":
+        from olaf_spark.bigram import _read_meta, build_bigrams
+        from olaf_spark.config import EngineConfig
+
+        cfg = EngineConfig.load(args.index)
+        build_bigrams(
+            spark, _load_pages(spark, args), args.index, cfg,
+            n_buckets=args.n_buckets, min_df=args.min_df,
+        )
+        meta = _read_meta(args.index)
+        print(json.dumps({
+            "cmd": "bigrams", "index": args.index,
+            "min_df": meta["min_df"], "n_heads": meta["n_heads"],
             "wall_s": round(time.time() - t0, 2),
         }))
     elif args.cmd == "compact":

@@ -546,11 +546,21 @@ def _cleanup_phrase_cache() -> None:
     _PHRASE_CACHE.clear()
 
 
+#: bigram head threshold for the entry index — FIXED (not n_docs-derived)
+#: so the head set, and therefore which queries take the pair fast path,
+#: is deterministic across sf dirs
+PHRASE_BIGRAM_MIN_DF = 16
+
+
 def _get_phrase_dir(spark: SparkSession, sf_dir: str) -> str:
-    """One positional side index per sf_dir, in a temp dir that dies with
-    the process — shared by the serving and batch phrase entries."""
+    """One positional side index per sf_dir (plus its bigram side index —
+    olaf_spark/bigram.py), in a temp dir that dies with the process —
+    shared by the serving and batch phrase entries. The serving entries
+    run in auto mode, so phrase_match / phrase_match_thresholded exercise
+    pair-unit verification whenever their terms are heads."""
     import atexit
 
+    from olaf_spark.bigram import build_bigrams
     from olaf_spark.phrase import build_positions
 
     if sf_dir not in _PHRASE_CACHE:
@@ -559,9 +569,9 @@ def _get_phrase_dir(spark: SparkSession, sf_dir: str) -> str:
         d = tempfile.mkdtemp(prefix="entry_phrase_")
         if not _PHRASE_CACHE:
             atexit.register(_cleanup_phrase_cache)
-        build_positions(
-            spark, _docs(spark, sf_dir).select("doc_id", "text"), d, CFG, n_buckets=4
-        )
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        build_positions(spark, docs, d, CFG, n_buckets=4)
+        build_bigrams(spark, docs, d, CFG, n_buckets=4, min_df=PHRASE_BIGRAM_MIN_DF)
         _PHRASE_CACHE[sf_dir] = d
     return _PHRASE_CACHE[sf_dir]
 
@@ -638,6 +648,35 @@ FROM hits ORDER BY phrase_tf DESC, doc_id ASC LIMIT {k}
 
 SQL_PHRASE_MATCH = _sql_phrase(PHRASE_QUERY.split(), K)
 SQL_PHRASE_MATCH_THRESHOLDED = _sql_phrase(PHRASE_QUERY.split(), K, PHRASE_MIN_TF)
+
+# head-head pair served from the bigram side index (olaf_spark/bigram.py —
+# the text twin of Olaf hashing 2-3-point combinations into ONE key,
+# olaf_fp_extractor.c:92-145: the pair row's header counts ARE the phrase
+# tfs, zero position bytes decoded). Both terms' df >> PHRASE_BIGRAM_MIN_DF
+# in the documents table, so the pair is authoritative; use_bigrams=True
+# REQUIRES the fast path — the entry fails loudly if it silently degraded.
+PHRASE_BIGRAM_QUERY = "table hash"
+
+
+def q_phrase_match_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from olaf_spark.phrase import phrase_topk
+
+    hits = phrase_topk(
+        _get_phrase_dir(spark, sf_dir), PHRASE_BIGRAM_QUERY, k=K, use_bigrams=True
+    )
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d_ for d_, _ in hits],
+            "phrase_tf": [int(t) for _, t in hits],
+            "rank": list(range(1, len(hits) + 1)),
+        }
+    )
+    return spark.createDataFrame(pdf, "doc_id long, phrase_tf long, rank long")
+
+
+SQL_PHRASE_MATCH_BIGRAM = _sql_phrase(PHRASE_BIGRAM_QUERY.split(), K)
 
 # batch phrase: B phrases answered by ONE Spark job over the positional rows
 # (olaf_spark/phrase.batch_phrase_topk — fan-out on a broadcast subscription
@@ -1480,6 +1519,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fragment_windows": q_fragment_windows,
     "phrase_match": q_phrase_match,
     "phrase_match_thresholded": q_phrase_match_thresholded,
+    "phrase_match_bigram": q_phrase_match_bigram,
     "phrase_batch": q_phrase_batch,
     "result_meta_join": q_result_meta_join,
     "extract_roundtrip": q_extract_roundtrip,
@@ -1527,6 +1567,7 @@ ORACLE_SQL: dict[str, str] = {
     "fragment_windows": SQL_FRAGMENT_WINDOWS,
     "phrase_match": SQL_PHRASE_MATCH,
     "phrase_match_thresholded": SQL_PHRASE_MATCH_THRESHOLDED,
+    "phrase_match_bigram": SQL_PHRASE_MATCH_BIGRAM,
     "phrase_batch": SQL_PHRASE_BATCH,
     "result_meta_join": SQL_RESULT_META_JOIN,
     "extract_roundtrip": SQL_EXTRACT_ROUNDTRIP,

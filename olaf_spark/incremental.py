@@ -88,11 +88,17 @@ def append_index(
     n_buckets: int = 16,
     delta_name: str | None = None,
     with_positions: bool = False,
+    with_bigrams: bool = False,
 ) -> Index:
     """Append new documents to an existing index as a delta segment-index.
 
     The delta is built with the BASE index's config — the config-freeze
     invariant (olaf_config.h:46-50) spans the whole group.
+
+    with_bigrams=True requires the BASE to carry a bigram side index: the
+    delta INHERITS the base's head set (the same pairs are indexed over
+    the delta's docs), so pair authoritativeness stays uniform across the
+    group — olaf_spark/bigram.py's core invariant.
 
     Commit protocol (Olaf analogue: LMDB's writer mutex + txn commit,
     olaf_db.c:28-37): the delta directory is CLAIMED atomically with
@@ -134,6 +140,13 @@ def append_index(
                         spark, new_docs, delta_dir, base.cfg,
                         text_col=text_col, id_col=id_col, n_buckets=n_buckets,
                     )
+                if with_bigrams and not os.path.exists(
+                    os.path.join(delta_dir, "bigram_meta.json")
+                ):
+                    _append_bigrams(
+                        spark, new_docs, base_dir, delta_dir, base.cfg,
+                        text_col, id_col, n_buckets,
+                    )
                 return committed
             # uncommitted claim = crashed prior epoch -> resume from lineage
     else:
@@ -164,12 +177,45 @@ def append_index(
             spark, new_docs, delta_dir, base.cfg,
             text_col=text_col, id_col=id_col, n_buckets=n_buckets,
         )
+    if with_bigrams:
+        if new_docs.limit(1).count() == 0:
+            raise ValueError(
+                f"refusing to append an empty batch to {base_dir}: "
+                "new_docs has no rows (n_docs=0)"
+            )
+        _append_bigrams(
+            spark, new_docs, base_dir, delta_dir, base.cfg,
+            text_col, id_col, n_buckets,
+        )
     # resume=True: never rmtree the claimed dir (re-creating it would open a
     # window where a concurrent append re-claims the same name); a replayed
     # half-built epoch delta resumes from its lineage instead.
     return build_index(
         spark, new_docs, delta_dir, base.cfg,
         text_col=text_col, id_col=id_col, n_buckets=n_buckets, resume=True,
+    )
+
+
+def _append_bigrams(
+    spark, new_docs, base_dir, delta_dir, cfg, text_col, id_col, n_buckets
+) -> None:
+    """Build the delta's bigram rows under the BASE's inherited head set —
+    refuses when the base has no bigram index (there is no head set to
+    inherit; building one from the delta's own dfs would break the
+    uniform-authoritativeness invariant)."""
+    from olaf_spark.bigram import _read_meta, bigrams_usable, build_bigrams, load_heads
+
+    if not bigrams_usable(base_dir):
+        raise ValueError(
+            f"with_bigrams=True but {base_dir} has no bigram side index — "
+            "run build_bigrams on the base first (the delta inherits its "
+            "head set)"
+        )
+    base_meta = _read_meta(base_dir)
+    build_bigrams(
+        spark, new_docs, delta_dir, cfg,
+        text_col=text_col, id_col=id_col, n_buckets=n_buckets,
+        min_df=base_meta["min_df"], heads=load_heads(base_dir),
     )
 
 
@@ -580,6 +626,25 @@ def _positions_fold_done(out_dir: str) -> bool:
     )
 
 
+def _bigram_fold_done(out_dir: str) -> bool:
+    """Resume check: the bigram fold committed (lineage row + meta)."""
+    import pyarrow.dataset as ds
+
+    lin_dir = os.path.join(out_dir, "lineage")
+    if not os.path.isdir(lin_dir) or not os.path.exists(
+        os.path.join(out_dir, "bigram_meta.json")
+    ):
+        return False
+    dataset = ds.dataset(lin_dir, format="parquet")
+    if not dataset.schema.names:
+        return False
+    tbl = dataset.to_table(columns=["stage", "status"])
+    return any(
+        s == "compact_bigrams" and st == "done"
+        for s, st in zip(tbl["stage"].to_pylist(), tbl["status"].to_pylist())
+    )
+
+
 def _completed_compact_groups(out_dir: str) -> set[int]:
     """Driver-side lineage read: which tb-range groups already committed."""
     import pyarrow.dataset as ds
@@ -836,6 +901,45 @@ def compact_index(
             "positional rows in the current layout — positions NOT folded "
             "(phrase queries were already refusing on this group); run "
             f"build_positions on {out_dir} to restore phrase serving"
+        )
+
+    # bigram fold: same contract as the positions fold (run before
+    # stats.json so the commit marker covers it; degrade, never raise,
+    # when the group can't fold — serving already falls back to the
+    # positional path for such groups). group_heads() is the gate: all
+    # parts usable AND one shared head set (the append path inherits it,
+    # so any group built through the public API passes).
+    from olaf_spark.bigram import bigrams_usable, compact_bigrams, group_heads
+
+    bg_part_dirs = [p.index_dir for p in group.parts]
+    bg_exist = [
+        os.path.exists(os.path.join(d, "bigram_meta.json")) for d in bg_part_dirs
+    ]
+    if group_heads(bg_part_dirs) is not None:
+        if not _bigram_fold_done(out_dir):
+            b_t0 = time.time()
+            compact_bigrams(
+                spark, bg_part_dirs, out_dir, tombstones, cfg,
+                n_merge_tasks=n_merge_tasks,
+            )
+            _write_lineage(
+                [
+                    dict(
+                        stage="compact_bigrams", partition_id=-1,
+                        input_rows=-1, output_rows=-1,
+                        wall_s=time.time() - b_t0, rows_per_s=0.0,
+                        bytes_out=-1, status="done", ts=time.time(),
+                    )
+                ],
+                lin_dir,
+            )
+    elif any(bg_exist):
+        n_ok = sum(bigrams_usable(d) for d in bg_part_dirs)
+        print(
+            f"compact_index: {n_ok}/{len(bg_exist)} parts carry a usable "
+            "bigram side index (or head sets differ) — bigrams NOT folded "
+            "(phrase serving falls back to the positional path); run "
+            f"build_bigrams on {out_dir} to restore the pair fast path"
         )
 
     # chunk ordinals are task-local (a split term emits chunk 0 in several

@@ -571,6 +571,47 @@ def _union_tombstones_arr(part_dirs: list[str]):
     return out
 
 
+def phrase_units(
+    qterms: list[str], tids: list[int], heads: np.ndarray | None
+) -> list[tuple]:
+    """Cover the phrase's positions with verification units: an
+    authoritative head-head PAIR (both members in the bigram head set)
+    covers two adjacent offsets with one selective bigram row; remaining
+    offsets fall back to single-term units. Greedy left-to-right, with the
+    tail offset allowed to re-use the overlapping last pair — a trigram of
+    head terms covers as [pair@0, pair@1] and never touches a single
+    term's near-corpus-length row.
+
+    Returns [(key, offset)] where key is ("s", term_id) or ("p", pair_id)
+    — the tag keeps single and pair row sources apart in the data dict."""
+    from olaf_spark.bigram import pair_id_py
+
+    n = len(qterms)
+
+    def _in_heads(tid: int) -> bool:
+        if heads is None or not heads.size:
+            return False
+        j = int(np.searchsorted(heads, tid))
+        return j < heads.size and int(heads[j]) == tid
+
+    auth = [_in_heads(tids[i]) and _in_heads(tids[i + 1]) for i in range(n - 1)]
+    units: list[tuple] = []
+    i = 0
+    while i < n:
+        if i < n - 1 and auth[i]:
+            units.append((("p", pair_id_py(qterms[i], qterms[i + 1])), i))
+            i += 2
+        elif i == n - 1 and n >= 2 and auth[n - 2]:
+            # last offset uncovered but the overlapping final pair is
+            # authoritative — prefer it over the (possibly head) single
+            units.append((("p", pair_id_py(qterms[n - 2], qterms[n - 1])), n - 2))
+            break
+        else:
+            units.append((("s", tids[i]), i))
+            i += 1
+    return units
+
+
 def phrase_topk(
     index_dir: str,
     phrase: str,
@@ -578,19 +619,28 @@ def phrase_topk(
     cfg: EngineConfig | None = None,
     min_tf: int = 1,
     _stats: dict | None = None,
+    use_bigrams: bool | None = None,
 ) -> list[tuple[int, int]]:
     """Top-k (doc_id, phrase_tf) of docs containing the EXACT token
     sequence; ties break doc_id ascending. Fully vectorized verification:
-    term i contributes keys (doc_ordinal, pos - i); the intersection across
-    all terms is the set of phrase start positions. Candidates are scanned
-    in descending min-term-tf order with WAND-style early termination, so a
-    head-head phrase stops after the high-bound chunks instead of decoding
-    every co-occurring doc (_stats, if given, receives n_candidates /
-    n_decoded for tests and benchmarks).
+    each unit contributes keys (doc_ordinal, pos - offset); the
+    intersection across all units is the set of phrase start positions.
+    Candidates are scanned in descending min-unit-tf order with WAND-style
+    early termination, so a head-head phrase stops after the high-bound
+    chunks instead of decoding every co-occurring doc (_stats, if given,
+    receives n_candidates / n_decoded / n_pair_units for tests and
+    benchmarks).
+
+    use_bigrams: None = auto (use the bigram side index when every part
+    carries one with a matching head set — olaf_spark/bigram.py); False =
+    never; True = require (raise when the group can't serve from bigrams).
+    A phrase that reduces to ONE unit (a single term, or a 2-term
+    head-head pair) answers from the cheap doc-id headers alone — zero
+    position bytes decoded.
 
     min_tf > 1 is the phrase twin of Olaf's minMatchCount quality gate
     (olaf_config.c:89-94) AND of bm25_topk_thresholded's θ: it seeds the
-    early-termination threshold, so candidates whose min-term-tf bound
+    early-termination threshold, so candidates whose min-unit-tf bound
     can't reach the floor are never decoded at all — a skip criterion,
     not a post-filter.
     """
@@ -607,35 +657,103 @@ def phrase_topk(
     part_dirs = [index_dir] + _delta_dirs(index_dir)
     for d in part_dirs:
         _check_positions(d)
-    datasets = [
-        ds.dataset(os.path.join(d, "positions"), format="parquet", partitioning="hive")
-        for d in part_dirs
-    ]
     qterms = tokenize_py(phrase, cfg)  # ORDER MATTERS — not deduped/sorted
     if not qterms:
         return []
     tids = [term_id_py(t) for t in qterms]
+
+    heads = None
+    if use_bigrams is not False:
+        from olaf_spark.bigram import group_heads
+
+        heads = group_heads(part_dirs)
+        if use_bigrams is True and heads is None:
+            raise ValueError(
+                "use_bigrams=True but the group cannot serve from bigrams "
+                "(a part lacks them, or head sets differ across parts) — "
+                f"run build_bigrams on {part_dirs}"
+            )
+
+    units = phrase_units(qterms, tids, heads)
+    single_ids = sorted({key[1] for key, _ in units if key[0] == "s"})
+    pair_ids = sorted({key[1] for key, _ in units if key[0] == "p"})
+
     # parts fetch concurrently (pyarrow releases the GIL) — group latency
     # tracks the slowest part, not the sum, as deltas accumulate
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=min(8, len(datasets))) as ex:
-        fetched = list(
-            ex.map(lambda dd: _fetch_term_rows(dd, tids, cfg.n_segments), datasets)
-        )
-    data: dict[int, list[dict]] = {}
-    for part_rows in fetched:
-        for tid, rows in part_rows.items():
-            data.setdefault(tid, []).extend(rows)
-    if any(t not in data for t in tids):
-        return []  # some phrase term matches nothing
+    fetch_tasks = []
+    if single_ids:
+        for d in part_dirs:
+            fetch_tasks.append(("s", os.path.join(d, "positions"), single_ids))
+    if pair_ids:
+        from olaf_spark.bigram import has_bigram_rows
 
-    # candidate docs: intersection of each term's doc set — computed from
+        for d in part_dirs:
+            # a committed-but-rowless part (no head-head pair occurred in
+            # it) contributes nothing — and its bigrams/ dir holds only
+            # _SUCCESS, which a blind dataset open would choke on
+            if has_bigram_rows(d):
+                fetch_tasks.append(("p", os.path.join(d, "bigrams"), pair_ids))
+
+    def _fetch(task):
+        tag, path, ids = task
+        dd = ds.dataset(path, format="parquet", partitioning="hive")
+        return tag, _fetch_term_rows(dd, ids, cfg.n_segments)
+
+    if fetch_tasks:
+        with ThreadPoolExecutor(max_workers=min(8, len(fetch_tasks))) as ex:
+            fetched = list(ex.map(_fetch, fetch_tasks))
+    else:  # every unit is a pair and no part holds a single pair row
+        fetched = []
+    data: dict = {}
+    for tag, part_rows in fetched:
+        for tid, rows in part_rows.items():
+            data.setdefault((tag, tid), []).extend(rows)
+    if _stats is not None:
+        _stats["n_pair_units"] = len(pair_ids)
+    if any(key not in data for key, _ in units):
+        # a single term matching nothing, or an AUTHORITATIVE pair with
+        # zero indexed occurrences (head sets make absence meaningful) —
+        # either way the phrase cannot occur
+        return []
+
+    # ---- one-unit fast path: the unit's per-doc counts ARE the phrase
+    # tfs (a 1-term phrase, or a 2-term head-head pair served straight
+    # from the bigram row headers) — no position byte is ever decoded
+    if len(units) == 1:
+        rows_u = data[units[0][0]]
+        ids_u = np.concatenate([r["ids"] for r in rows_u])
+        cnt_u = np.concatenate([r["counts"] for r in rows_u])
+        order_u = np.argsort(ids_u, kind="stable")
+        ids_u, cnt_u = ids_u[order_u], cnt_u[order_u]
+        ts_arr = _union_tombstones_arr(part_dirs)
+        if ts_arr is not None and ids_u.size:
+            keep = tombstone_keep_mask(ids_u, ts_arr)
+            ids_u, cnt_u = ids_u[keep], cnt_u[keep]
+        if min_tf > 1:
+            keep = cnt_u >= int(min_tf)
+            ids_u, cnt_u = ids_u[keep], cnt_u[keep]
+        if _stats is not None:
+            _stats["n_candidates"] = int(ids_u.size)
+            _stats["n_decoded"] = 0
+        m = ids_u.size
+        if m == 0:
+            return []
+        if m > k:
+            kth = np.partition(cnt_u, m - k)[m - k]
+            sel = np.flatnonzero(cnt_u >= kth)
+            pick = sel[np.lexsort((ids_u[sel], -cnt_u[sel]))[:k]]
+        else:
+            pick = np.lexsort((ids_u, -cnt_u))[:k]
+        return [(int(ids_u[i]), int(cnt_u[i])) for i in pick]
+
+    # candidate docs: intersection of each unit's doc set — computed from
     # the (cheap) doc-id headers BEFORE any position bytes are touched, so
-    # a head-term phrase with one selective term only ever decodes the
+    # a head-term phrase with one selective unit only ever decodes the
     # selective candidate set's positions
     cand = None
-    for t in set(tids):
+    for t in dict.fromkeys(key for key, _ in units):
         # rows are doc-disjoint and internally sorted; ordered by first doc
         # the concat is usually globally sorted already (buckets are doc
         # RANGES) — skip the O(n log n) unique/sort unless parts overlap
@@ -658,18 +776,20 @@ def phrase_topk(
         return []
 
     # ---- phrase-tf upper bound per candidate, from the CHEAP headers ----
-    # ub(doc) = min over distinct phrase terms of the doc's tf for that term
-    # — a phrase can't occur more often than its rarest member term. The
-    # text twin of a WAND bound (wand.py cites the same literature):
-    # candidates are processed in descending-ub chunks and the scan STOPS
-    # once the running kth phrase_tf (theta) can no longer be beaten or
-    # tied. Ties still settle by doc_id, so chunks whose max ub EQUALS
-    # theta are still processed; only strictly-worse chunks are skipped.
-    # This is what caps the head-head worst case: two corpus-frequent terms
-    # yield a dense candidate set, but the final top-k concentrates in the
-    # high-min-tf head of the ub order, so the tail never decodes a byte.
+    # ub(doc) = min over distinct units of the doc's tf for that unit — a
+    # phrase can't occur more often than its rarest member unit (a pair
+    # unit's adjacent-occurrence count bounds far tighter than either
+    # member term's tf). The text twin of a WAND bound (wand.py cites the
+    # same literature): candidates are processed in descending-ub chunks
+    # and the scan STOPS once the running kth phrase_tf (theta) can no
+    # longer be beaten or tied. Ties still settle by doc_id, so chunks
+    # whose max ub EQUALS theta are still processed; only strictly-worse
+    # chunks are skipped. This is what caps the head-head worst case: two
+    # corpus-frequent terms yield a dense candidate set, but the final
+    # top-k concentrates in the high-min-tf head of the ub order, so the
+    # tail never decodes a byte.
     ub = None
-    for t in dict.fromkeys(tids):
+    for t in dict.fromkeys(key for key, _ in units):
         c = np.zeros(cand.size, dtype=np.int64)
         for row in data[t]:
             # a row covers ONE doc-range bucket — slice the candidate set
@@ -709,7 +829,7 @@ def phrase_topk(
             break
         sub = np.sort(cand[order[c0 : c0 + chunk]])
         n_decoded += sub.size
-        docs_c, tfs_c = _phrase_tfs(sub, data, tids, len(qterms))
+        docs_c, tfs_c = _phrase_tfs(sub, data, units)
         if min_tf > 1 and docs_c.size:
             keep_tf = tfs_c >= min_tf
             docs_c, tfs_c = docs_c[keep_tf], tfs_c[keep_tf]
@@ -738,7 +858,7 @@ def phrase_topk(
 
 
 def _phrase_tfs(
-    cand: np.ndarray, data: dict[int, list[dict]], tids: list[int], n_terms: int
+    cand: np.ndarray, data: dict, units: list[tuple]
 ) -> tuple[np.ndarray, np.ndarray]:
     """(doc_ids, phrase_tfs) over a SORTED candidate subset — decodes only
     these candidates' position bytes (scattered-gather), verifies adjacency
@@ -746,17 +866,24 @@ def _phrase_tfs(
     intersection. Shared by the serving path's chunk loop and the batch
     verify stage.
 
-    Terms are processed CHEAPEST-FIRST (by total position mass), and after
-    each term's key intersection the SURVIVING docs restrict the next
-    term's decode — in a mixed phrase the heaviest term only ever decodes
-    docs that already hold an aligned partial match of all lighter terms
+    units: [(key, offset)] — each verification unit constrains the phrase
+    at `offset`: a single term (its own positions) or a bigram pseudo-term
+    (positions of the pair's FIRST token, which constrain offsets i AND
+    i+1 at once — Olaf's combination-hash move, olaf_fp_extractor.c:92-145).
+    `data` maps each unit key to its decoded-header rows; the key's type is
+    opaque here.
+
+    Units are processed CHEAPEST-FIRST (by total position mass), and after
+    each unit's key intersection the SURVIVING docs restrict the next
+    unit's decode — in a mixed phrase the heaviest term only ever decodes
+    docs that already hold an aligned partial match of all lighter units
     (the decode twin of ordering WAND cursors by list length). A repeated
-    term decodes once and applies one adjustment per phrase position.
+    unit decodes once and applies one adjustment per phrase offset.
     """
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
-    pos_of: dict[int, list[int]] = {}
-    for i, t in enumerate(tids):
-        pos_of.setdefault(t, []).append(i)
+    pos_of: dict = {}
+    for t, off in units:
+        pos_of.setdefault(t, []).append(off)
     # cheap cost proxy from the headers: total occurrences in each term's
     # rows (a vector sum per row; candidate-restricted counts would need
     # the very search this ordering is trying to minimize)
@@ -906,7 +1033,7 @@ def _make_phrase_verify(bsubs):
             cand = cand[tombstone_keep_mask(cand, ts_sorted)]
         if cand.size == 0:
             return empty
-        docs, tfs = _phrase_tfs(cand, data, list(range(nt)), nt)
+        docs, tfs = _phrase_tfs(cand, data, [(p, p) for p in range(nt)])
         if docs.size == 0:
             return empty
         return pd.DataFrame(

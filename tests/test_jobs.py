@@ -154,9 +154,13 @@ def test_maintenance_cycle_jobs_end_to_end(spark, tmp_path):
     # that CARRIES its own positions — phrase serving stays live throughout
     run([f"{REPO}/jobs/maintain_job.py", "positions", "--index", ix_dir,
          "--pages", half_a, "--from-html", "--n-buckets", "4"])
+    b = run([f"{REPO}/jobs/maintain_job.py", "bigrams", "--index", ix_dir,
+             "--pages", half_a, "--from-html", "--n-buckets", "4",
+             "--min-df", "5"])[0]
+    assert b["cmd"] == "bigrams" and b["min_df"] == 5 and b["n_heads"] > 0
     m = run([f"{REPO}/jobs/maintain_job.py", "append", "--index", ix_dir,
              "--pages", half_b, "--from-html", "--n-buckets", "4",
-             "--with-positions"])[0]
+             "--with-positions", "--with-bigrams"])[0]
     assert m["n_docs"] == 100 and m["cmd"] == "append"
 
     grp = run([f"{REPO}/jobs/query_job.py", "--index", ix_dir,
@@ -206,3 +210,13 @@ def test_maintenance_cycle_jobs_end_to_end(spark, tmp_path):
         (r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in rows
     )
     assert norm(ph_d) == norm(ph)
+
+    # the bigram side index rode the compaction fold too: the compacted dir
+    # serves head-head pairs from the pair fast path (use_bigrams=True
+    # would raise if the fold hadn't committed), same answer as the group
+    from olaf_spark.bigram import bigrams_usable
+    from olaf_spark.phrase import phrase_topk
+
+    assert bigrams_usable(out_dir)
+    want_hh = phrase_topk(ix_dir, "w2 w17", k=5)
+    assert phrase_topk(out_dir, "w2 w17", k=5, use_bigrams=True) == want_hh

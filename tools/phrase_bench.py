@@ -29,6 +29,7 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
 
+    from olaf_spark.bigram import build_bigrams
     from olaf_spark.config import EngineConfig
     from olaf_spark.phrase import batch_phrase_topk, build_positions, phrase_topk
     from olaf_spark.session import get_spark
@@ -44,6 +45,16 @@ def main() -> None:
         build_positions(spark, pages, pdir, EngineConfig(), n_buckets=16)
         out["positions_build_s"] = round(time.perf_counter() - t0, 2)
         out["positions_docs_per_s"] = round(args.n_docs / out["positions_build_s"], 0)
+        t0 = time.perf_counter()
+        build_bigrams(spark, pages, pdir, EngineConfig(), n_buckets=16)
+        out["bigrams_build_s"] = round(time.perf_counter() - t0, 2)
+        bg_bytes = 0
+        for root, _, files in os.walk(f"{pdir}/bigrams"):
+            bg_bytes += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files if f.endswith(".parquet")
+            )
+        out["bigrams_bytes"] = bg_bytes
 
         queries = {
             "needle": "needle97",
@@ -51,20 +62,26 @@ def main() -> None:
             "headhead_2": "w2 w3",
             "headhead_3": "w2 w3 w5",
         }
+        # phrase_{name}_ms = what serving does now (auto -> bigram units);
+        # phrase_{name}_pos_ms = positional-only, like-for-like with the
+        # round-4 records
         for name, q in queries.items():
-            best = None
-            stats: dict = {}
-            for _ in range(args.reps):
-                st: dict = {}
-                t0 = time.perf_counter()
-                phrase_topk(pdir, q, k=10, _stats=st)
-                dt = (time.perf_counter() - t0) * 1000
-                if best is None or dt < best:
-                    best, stats = dt, st
-            out[f"phrase_{name}_ms"] = round(best, 1)
-            if stats:
-                out[f"phrase_{name}_decoded"] = stats.get("n_decoded")
-                out[f"phrase_{name}_candidates"] = stats.get("n_candidates")
+            for suffix, use_bg in (("", None), ("_pos", False)):
+                best = None
+                stats: dict = {}
+                for _ in range(args.reps):
+                    st: dict = {}
+                    t0 = time.perf_counter()
+                    phrase_topk(pdir, q, k=10, _stats=st, use_bigrams=use_bg)
+                    dt = (time.perf_counter() - t0) * 1000
+                    if best is None or dt < best:
+                        best, stats = dt, st
+                out[f"phrase_{name}{suffix}_ms"] = round(best, 1)
+                if stats:
+                    out[f"phrase_{name}{suffix}_decoded"] = stats.get("n_decoded")
+                    out[f"phrase_{name}{suffix}_candidates"] = stats.get(
+                        "n_candidates"
+                    )
 
         pool = ["w2 w3", "w2 w12000", "needle97", "w2 w3 w5"]
         pbatch = [(i, pool[i % len(pool)]) for i in range(64)]
