@@ -804,9 +804,10 @@ def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # fuzzy term lookup (olaf_spark/fuzzy.py): Olaf's ±searchRange B+tree probe
-# (olaf_db.c:337-398) — the query term widens to its edit-distance-1
-# neighborhood, probed as one pushdown isin; the oracle states the same set
-# declaratively via levenshtein().
+# (olaf_db.c:337-398) — the query term widens to its Damerau-Levenshtein
+# distance-1 neighborhood (ins/del/sub + adjacent transposition — text's
+# most common typo class), probed as one pushdown isin; the oracle states
+# the same set declaratively via damerau_levenshtein().
 # --------------------------------------------------------------------------
 
 FUZZY_PROBE = "sow"  # ED-1 neighbors in the corpus vocabulary: row, slow
@@ -827,7 +828,7 @@ SQL_FUZZY_TERM_LOOKUP = (
     "WITH " + SQL_TF
     + f"""
 , dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
-SELECT term, df FROM dft WHERE levenshtein(term, '{FUZZY_PROBE}') <= 1
+SELECT term, df FROM dft WHERE damerau_levenshtein(term, '{FUZZY_PROBE}') <= 1
 """
 )
 
@@ -859,7 +860,7 @@ WITH {SQL_TF}
 )
 , stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(doc_len)::DOUBLE AS avgdl FROM dl)
 , dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
-, q AS (SELECT term FROM dft WHERE levenshtein(term, '{FUZZY_PROBE}') <= 1)
+, q AS (SELECT term FROM dft WHERE damerau_levenshtein(term, '{FUZZY_PROBE}') <= 1)
 , scored AS (
   SELECT tf.doc_id,
          sum( ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))

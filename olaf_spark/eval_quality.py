@@ -6,13 +6,15 @@ sox-distorted query fragments and reports per-distortion TPR/TNR
 `eval/README.md:110-123`. The text analogue evaluated here:
 
   * typo classes stand in for the audio distortions — swap (adjacent
-    transposition, edit distance 2), drop / insert / keyboard-adjacent
-    substitute (each edit distance 1);
+    transposition: Damerau distance 1, text's most common typo class),
+    drop / insert / keyboard-adjacent substitute (each distance 1), and
+    double (two independent substitutions — true distance 2);
   * TPR = a distorted query still retrieves its source document in the
     top-k, measured for BOTH the exact serving path (wand.query_index)
     and the fuzzy ±searchRange analogue (fuzzy.fuzzy_query_index) —
-    the fuzzy path should recover ED-1 classes and, like Olaf under
-    out-of-range distortions (speed ±10%), NOT recover ED-2 swaps;
+    the fuzzy probe's Damerau ball recovers swap AND the ED-1 classes,
+    and, like Olaf under out-of-range distortions (speed ±10%), must NOT
+    recover the distance-2 double class;
   * TNR = out-of-vocabulary junk queries return nothing on either path;
   * MinHash-LSH pair recall vs token-perturbation rate plays the role of
     the degradation curve across distortion strengths.
@@ -34,10 +36,13 @@ from olaf_spark.indexer import Index
 from olaf_spark.synth import NEEDLE_EVERY
 from olaf_spark.wand import query_index
 
-# edit-distance-1 classes the fuzzy probe is DESIGNED to recover, plus the
-# ED-2 swap class it is designed NOT to (the out-of-range referent)
-ED1_CLASSES = ("drop", "insert", "keyboard")
-ALL_CLASSES = ("swap",) + ED1_CLASSES
+# classes the fuzzy probe is DESIGNED to recover (all Damerau distance 1 —
+# swap joined in round 5 when the ball grew transpositions), plus the
+# distance-2 double class it is designed NOT to (the out-of-range referent,
+# Olaf's speed ±10% falloff analogue)
+ED1_CLASSES = ("swap", "drop", "insert", "keyboard")
+OUT_OF_RANGE_CLASSES = ("double",)
+ALL_CLASSES = ED1_CLASSES + OUT_OF_RANGE_CLASSES
 
 _KEYBOARD_ROWS = ("qwertyuiop", "asdfghjkl", "zxcvbnm", "0123456789")
 
@@ -51,14 +56,28 @@ def _keyboard_neighbors(c: str) -> str:
 
 
 def distort_term(term: str, mode: str, rng: random.Random) -> str:
-    """One seeded typo of the given class. swap is edit distance 2
-    (adjacent transposition of unequal chars); the others are distance 1."""
+    """One seeded typo of the given class. swap/drop/insert/keyboard are
+    Damerau distance 1; double is two keyboard substitutions at positions
+    >= 2 apart — exactly distance 2 (non-adjacent, so the pair can never
+    collapse into a single transposition)."""
     if mode == "swap":
         spots = [i for i in range(len(term) - 1) if term[i] != term[i + 1]]
         if not spots:
             return term
         i = rng.choice(spots)
         return term[:i] + term[i + 1] + term[i] + term[i + 2:]
+    if mode == "double":
+        if len(term) < 3:
+            return term
+        i = rng.randrange(len(term) - 2)
+        js = range(i + 2, len(term))
+        j = rng.choice(list(js))
+        out = term
+        for p in (j, i):  # right-to-left so indices stay valid
+            nbrs = _keyboard_neighbors(out[p]) or ALPHABET
+            c = rng.choice([x for x in nbrs if x != out[p]] or list(ALPHABET))
+            out = out[:p] + c + out[p + 1:]
+        return out
     if mode == "drop":
         if len(term) < 2:
             return term
@@ -103,7 +122,8 @@ def typo_tpr_eval(
         rows.append(
             dict(
                 distortion=mode,
-                edit_distance=2 if mode == "swap" else 1,
+                # Damerau (OSA) distance — what the fuzzy ball is built on
+                edit_distance=2 if mode == "double" else 1,
                 n_queries=n,
                 tpr_exact=hit_exact / n if n else 0.0,
                 tpr_fuzzy=hit_fuzzy / n if n else 0.0,

@@ -5,18 +5,26 @@ Reference: Olaf widens each query hash into a CONTIGUOUS B+tree range scan
 its quantized fingerprint hashes preserve neighborhood — near-identical
 audio lands on adjacent keys. xxhash64(term) preserves nothing, so the same
 capability re-expresses as a GENERATED-NEIGHBOR probe: expand the query
-term to every string within Levenshtein distance 1 over the tokenizer's
-alphabet, hash each variant, and probe the term-sorted index with one
-`term_id IN (...)` predicate — the identical access shape (a handful of
-point/range reads against sorted storage, pushed down to the scan), with
-the neighborhood computed up front instead of implied by key order.
+term to every string within Damerau-Levenshtein (OSA) distance 1 over the
+tokenizer's alphabet, hash each variant, and probe the term-sorted index
+with one `term_id IN (...)` predicate — the identical access shape (a
+handful of point/range reads against sorted storage, pushed down to the
+scan), with the neighborhood computed up front instead of implied by key
+order.
 
-Cost at scale: a length-L term has ~37L+36(L+1)+L+1 variants (del + sub +
-ins + self over [a-z0-9]); ~700 ids for L=9. The probe prunes by hive
-shard + row-group stats exactly like an exact-term query — no vocabulary
-scan. The DuckDB oracle states the SAME set declaratively
-(levenshtein(term, probe) <= 1), so the driver verifies that the generated
-neighborhood is exactly the edit-distance ball.
+The ball is DAMERAU (ins + del + sub + ADJACENT TRANSPOSITION), not plain
+Levenshtein: Olaf's ±searchRange exists to tolerate its store's most
+common quantization error class, and the most common typo class in text
+is the adjacent swap ("teh") — Levenshtein counts it as 2 and would miss
+it. At distance <= 1 the OSA and unrestricted-Damerau balls coincide, so
+the DuckDB oracle can state the same set declaratively
+(damerau_levenshtein(term, probe) <= 1) and the driver verifies the
+generated neighborhood IS that ball.
+
+Cost at scale: a length-L term has ~37L+36(L+1)+(L-1)+L+1 variants (del +
+sub + ins + transposition + self over [a-z0-9]); ~700 ids for L=9. The
+probe prunes by hive shard + row-group stats exactly like an exact-term
+query — no vocabulary scan.
 """
 
 from __future__ import annotations
@@ -28,9 +36,10 @@ ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
 
 
 def edit1_variants(term: str) -> set[str]:
-    """All non-empty strings within Levenshtein distance <= 1 of `term`
-    over the tokenizer alphabet [a-z0-9] (deletions, substitutions,
-    insertions, and the term itself)."""
+    """All non-empty strings within Damerau-Levenshtein (OSA) distance <= 1
+    of `term` over the tokenizer alphabet [a-z0-9]: deletions,
+    substitutions, insertions, ADJACENT TRANSPOSITIONS, and the term
+    itself. (At distance 1, OSA == unrestricted Damerau.)"""
     out = {term}
     for i in range(len(term)):
         out.add(term[:i] + term[i + 1:])                       # deletion
@@ -39,6 +48,8 @@ def edit1_variants(term: str) -> set[str]:
     for i in range(len(term) + 1):
         for c in ALPHABET:
             out.add(term[:i] + c + term[i:])                   # insertion
+    for i in range(len(term) - 1):                             # transposition
+        out.add(term[:i] + term[i + 1] + term[i] + term[i + 2:])
     out.discard("")
     return out
 

@@ -1,7 +1,8 @@
-"""Fuzzy term lookup (olaf_spark/fuzzy.py): the generated edit-distance-1
-neighborhood must be EXACTLY the Levenshtein<=1 ball over the tokenizer
-alphabet (property-tested), and the fuzzy BM25 path must equal an explicit
-OR-query over the matched vocabulary terms."""
+"""Fuzzy term lookup (olaf_spark/fuzzy.py): the generated neighborhood
+must be EXACTLY the Damerau-Levenshtein (OSA) <= 1 ball over the tokenizer
+alphabet (property-tested — ins/del/sub + adjacent transposition), and the
+fuzzy BM25 path must equal an explicit OR-query over the matched
+vocabulary terms."""
 
 from __future__ import annotations
 
@@ -12,14 +13,25 @@ from olaf_spark.config import EngineConfig
 from olaf_spark.fuzzy import ALPHABET, edit1_variants, fuzzy_query_terms
 
 
-def levenshtein(a: str, b: str) -> int:
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
-        prev = cur
-    return prev[-1]
+def osa_distance(a: str, b: str) -> int:
+    """Optimal string alignment (restricted Damerau-Levenshtein) — the
+    referent the generated ball is checked against; at distance <= 1 it
+    coincides with unrestricted Damerau."""
+    d = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+    for i in range(len(a) + 1):
+        d[i][0] = i
+    for j in range(len(b) + 1):
+        d[0][j] = j
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            cost = a[i - 1] != b[j - 1]
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1, d[i - 1][j - 1] + cost)
+            if (
+                i > 1 and j > 1
+                and a[i - 1] == b[j - 2] and a[i - 2] == b[j - 1]
+            ):
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + 1)
+    return d[len(a)][len(b)]
 
 
 terms = st.text(alphabet=ALPHABET, min_size=1, max_size=6)
@@ -28,14 +40,23 @@ terms = st.text(alphabet=ALPHABET, min_size=1, max_size=6)
 @settings(max_examples=200, deadline=None)
 @given(probe=terms, cand=terms)
 def test_edit1_ball_exact(probe, cand):
-    assert (cand in edit1_variants(probe)) == (levenshtein(probe, cand) <= 1)
+    assert (cand in edit1_variants(probe)) == (osa_distance(probe, cand) <= 1)
 
 
 @settings(max_examples=50, deadline=None)
 @given(probe=terms)
 def test_edit1_members_all_within_1(probe):
     for v in edit1_variants(probe):
-        assert levenshtein(probe, v) <= 1 and v
+        assert osa_distance(probe, v) <= 1 and v
+
+
+def test_transpositions_in_ball():
+    """The Damerau extension concretely: the swap-class typo is a member,
+    a two-edit string is not."""
+    assert "teh" in edit1_variants("the")
+    assert "needle79" in edit1_variants("needle97")      # adjacent swap
+    assert "enedle97" in edit1_variants("needle97")      # swap at the head
+    assert "nedle79" not in edit1_variants("needle97")   # drop + swap = 2 edits
 
 
 def test_fuzzy_matches_vocabulary(spark):

@@ -44,20 +44,27 @@ def test_distort_term_edit_distances():
             assert bad != term
         swapped = distort_term(term, "swap", rng)
         assert sorted(swapped) == sorted(term)  # transposition only
+        doubled = distort_term(term, "double", rng)
+        diff = [i for i in range(len(term)) if doubled[i] != term[i]]
+        assert len(doubled) == len(term) and len(diff) == 2
+        assert diff[1] - diff[0] >= 2  # can't collapse into one transposition
 
 
-def test_fuzzy_recovers_ed1_classes(quality):
+def test_fuzzy_recovers_damerau1_classes(quality):
     rows = {r["distortion"]: r for r in quality["typo_tpr"]}
     for mode in ED1_CLASSES:
         r = rows[mode]
-        # the fuzzy path is BUILT for ED-1: high TPR, and never worse than
+        # the fuzzy path is BUILT for Damerau distance 1 — including the
+        # swap class (round-5 transposition extension; TPR was 0.00 when
+        # the ball was plain Levenshtein): high TPR, and never worse than
         # the exact path on the same distorted queries
         assert r["tpr_fuzzy"] >= 0.8, r
         assert r["tpr_fuzzy"] >= r["tpr_exact"], r
-    # the ED-2 swap class is OUT of the ±1 range by design — it must not
-    # silently score as if recovered (mirror of Olaf's speed-distortion
-    # falloff, eval/README.md:110-123)
-    assert rows["swap"]["tpr_fuzzy"] <= 0.5, rows["swap"]
+    assert rows["swap"]["tpr_fuzzy"] >= 0.9, rows["swap"]
+    # the distance-2 double class is OUT of the ±1 range by design — it
+    # must not silently score as if recovered (mirror of Olaf's
+    # speed-distortion falloff, eval/README.md:110-123)
+    assert rows["double"]["tpr_fuzzy"] <= 0.5, rows["double"]
 
 
 def test_junk_queries_true_negative(quality):
