@@ -6,12 +6,23 @@ Prints ONE JSON line:
 Each query is forced end-to-end with a noop write (full computation, no
 collect-to-driver cost). Extra context keys (docs_per_s, parallelism) ride
 along for BENCH history; the driver contract keys come first.
+
+Repeated-run protocol (round 5): this box is SHARED — co-tenant load swings
+identical runs by ±30% (BENCH.md "machine ceiling"), and a single
+loaded-moment reading once masqueraded as a cross-round regression
+(BENCH_r04 8.3 s vs 6.3-6.9 s for the same commit). So every wall-clock
+meter now runs >= 3 times and reports {median, best, loadavg}; the flat
+driver-contract keys carry the MEDIAN. The reference's own eval repeats
+runs the same way (eval/olaf_benchmark/olaf_benchmark.rb:21-88).
+best << median means the box was loaded mid-meter; compare medians across
+rounds, and treat best as the machine-capability floor.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -33,16 +44,39 @@ BENCH_QUERIES = [
     "embedding_cosine_topk",
 ]
 
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+METERS: dict[str, dict] = {}
+
 
 def force(df) -> int:
     df.write.format("noop").mode("overwrite").save()
     return 0
 
 
+def meter(name: str, fn, reps: int = REPS) -> float:
+    """Run fn() reps times; record {median, best, loadavg} under `name` and
+    return the MEDIAN seconds (what the flat driver keys carry)."""
+    la = round(os.getloadavg()[0], 2)
+    vals = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        vals.append(time.perf_counter() - t0)
+    METERS[name] = {
+        "median": round(statistics.median(vals), 3),
+        "best": round(min(vals), 3),
+        "reps": reps,
+        "loadavg": la,
+    }
+    return METERS[name]["median"]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    loadavg_start = round(os.getloadavg()[0], 2)
 
     spark = get_spark(cpus, app_name="olaf_spark_bench", shuffle_partitions=cpus)
     # warm up the JVM + parquet footers + Python workers so per-query times
@@ -61,12 +95,23 @@ def main() -> None:
         force(entry_queries.QUERIES[name](spark, sf_dir))
     cold_total = round(time.perf_counter() - t0, 3)
 
-    times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = entry_queries.QUERIES[name]
-        t0 = time.perf_counter()
-        force(fn(spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 3)
+    # headline pass x REPS: per-query median so one loaded moment cannot
+    # inflate a single query's official number
+    runs: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    la_headline = round(os.getloadavg()[0], 2)
+    for _ in range(REPS):
+        for name in BENCH_QUERIES:
+            fn = entry_queries.QUERIES[name]
+            t0 = time.perf_counter()
+            force(fn(spark, sf_dir))
+            runs[name].append(time.perf_counter() - t0)
+    times = {name: round(statistics.median(v), 3) for name, v in runs.items()}
+    METERS["headline_total"] = {
+        "median": round(sum(times.values()), 3),
+        "best": round(sum(min(v) for v in runs.values()), 3),
+        "reps": REPS,
+        "loadavg": la_headline,
+    }
 
     # materialized index build + WAND serving latency
     import tempfile
@@ -77,9 +122,16 @@ def main() -> None:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     with tempfile.TemporaryDirectory() as tmp:
-        t0 = time.perf_counter()
-        index = build_index(spark, docs, f"{tmp}/ix", EngineConfig(), n_buckets=16)
-        build_s = round(time.perf_counter() - t0, 3)
+        builds = iter(range(REPS))
+        index = None
+
+        def one_build():
+            nonlocal index
+            index = build_index(
+                spark, docs, f"{tmp}/ix{next(builds)}", EngineConfig(), n_buckets=16
+            )
+
+        build_s = meter("index_build", one_build)
         lat = []
         for i in range(24):
             q = f"spark join window w{i}" if i % 2 else "data query filter"
@@ -96,11 +148,10 @@ def main() -> None:
             (i, f"spark join window w{i}" if i % 2 else f"data query filter w{i}")
             for i in range(32)
         ]
-        t0 = time.perf_counter()
-        batch_query_index(spark, index, batch, k=10).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        batch32_s = round(time.perf_counter() - t0, 3)
+        force(batch_query_index(spark, index, batch, k=10))  # plan warmup
+        batch32_s = meter(
+            "bm25_batch32", lambda: force(batch_query_index(spark, index, batch, k=10))
+        )
 
         # B=1024: the broadcast subscription map amortizes over real batch
         # sizes — per-task cost must not grow with B (subs ride ONE
@@ -109,11 +160,10 @@ def main() -> None:
             (i, f"spark join window w{i % 200}" if i % 2 else f"data query filter w{i % 97}")
             for i in range(1024)
         ]
-        t0 = time.perf_counter()
-        batch_query_index(spark, index, batch_big, k=10).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        batch1024_s = round(time.perf_counter() - t0, 3)
+        batch1024_s = meter(
+            "bm25_batch1024",
+            lambda: force(batch_query_index(spark, index, batch_big, k=10)),
+        )
 
         # delta-phase serving: append half the corpus as a delta and serve
         # through the group's idf-rescaled block-max path (incremental.py)
@@ -132,13 +182,24 @@ def main() -> None:
             glat.append((time.perf_counter() - t0) * 1000)
         glat.sort()
 
-        # positional side index + exact phrase serving (olaf_spark.phrase)
+        # positional + bigram side indexes, exact phrase serving
+        # (olaf_spark.phrase / olaf_spark.bigram)
+        from olaf_spark.bigram import build_bigrams
         from olaf_spark.phrase import build_positions, phrase_topk
 
-        pdir = f"{tmp}/pix"
-        t0 = time.perf_counter()
-        build_positions(spark, docs, pdir, EngineConfig(), n_buckets=16)
-        pos_build_s = round(time.perf_counter() - t0, 3)
+        pdirs = iter(range(REPS))
+        pdir = None
+
+        def one_positions():
+            nonlocal pdir
+            pdir = f"{tmp}/pix{next(pdirs)}"
+            build_positions(spark, docs, pdir, EngineConfig(), n_buckets=16)
+
+        pos_build_s = meter("positions_build", one_positions)
+        bigrams_build_s = meter(
+            "bigrams_build",
+            lambda: build_bigrams(spark, docs, pdir, EngineConfig(), n_buckets=16),
+        )
         plat = []
         for _ in range(10):
             t0 = time.perf_counter()
@@ -147,30 +208,35 @@ def main() -> None:
         plat.sort()
 
         # head-head phrase: BOTH terms corpus-frequent — round 3's worst
-        # case (full position-buffer decode); now bounded by ub-ordered
-        # early termination + scattered-gather decode
-        hlat = []
+        # case. Served two ways: the bigram pair fast path (what serving
+        # does now) and the positional ub-ordered scan (like-for-like with
+        # rounds 3-4).
+        hlat, hplat = [], []
         for _ in range(10):
             t0 = time.perf_counter()
             phrase_topk(pdir, "table hash", k=10)
             hlat.append((time.perf_counter() - t0) * 1000)
+            t0 = time.perf_counter()
+            phrase_topk(pdir, "table hash", k=10, use_bigrams=False)
+            hplat.append((time.perf_counter() - t0) * 1000)
         hlat.sort()
+        hplat.sort()
 
         # distributed batch phrase: 64 phrases as ONE Spark job
         from olaf_spark.phrase import batch_phrase_topk
 
         pool = ["slow hash batch", "table hash", "merge group", "part filter"]
         pbatch = [(i, pool[i % len(pool)]) for i in range(64)]
-        t0 = time.perf_counter()
-        batch_phrase_topk(spark, pdir, pbatch, k=10).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        phrase_batch64_s = round(time.perf_counter() - t0, 3)
+        force(batch_phrase_topk(spark, pdir, pbatch, k=10))  # plan warmup
+        phrase_batch64_s = meter(
+            "phrase_batch64",
+            lambda: force(batch_phrase_topk(spark, pdir, pbatch, k=10)),
+        )
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     spark.stop()
 
-    total = round(sum(times.values()), 3)
+    total = METERS["headline_total"]["median"]
     out = {
         "metric": "olaf_spark headline query wall time",
         "value": total,
@@ -190,10 +256,15 @@ def main() -> None:
         "group_serve_p50_ms": round(glat[len(glat) // 2], 2),
         "group_serve_p95_ms": round(glat[int(len(glat) * 0.95)], 2),
         "positions_build_s": pos_build_s,
+        "bigrams_build_s": bigrams_build_s,
         "phrase_serve_p50_ms": round(plat[len(plat) // 2], 2),
         "phrase_headhead_p50_ms": round(hlat[len(hlat) // 2], 2),
+        "phrase_headhead_positional_p50_ms": round(hplat[len(hplat) // 2], 2),
         "phrase_batch64_s": phrase_batch64_s,
         "phrase_batch_queries_per_s": round(64 / phrase_batch64_s, 1) if phrase_batch64_s > 0 else None,
+        "meters": METERS,
+        "loadavg_start": loadavg_start,
+        "loadavg_end": round(os.getloadavg()[0], 2),
         "parallelism": cpus,
     }
     print(json.dumps(out))
