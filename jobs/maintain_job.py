@@ -15,11 +15,13 @@ delete/undelete.
         undelete --index ... --doc-ids 123,456
 
 --index / --out must live on a LOCAL or SHARED POSIX FILESYSTEM (NFS, EFS,
-Lustre, ...): the delta claim (atomic os.mkdir), the compaction staging
-promote (os.rename), lineage/manifest reads, and the tombstone lockfile are
-driver-side POSIX operations with no object-store equivalents — s3:// would
-need a rename-capable filesystem abstraction first. --pages is read through
-Spark and may be any Hadoop-supported URI (s3://, hdfs://, ...).
+Lustre, ...): the delta claim, compaction staging promote, commit-marker
+publishes, and the tombstone lock all route through the metadata
+filesystem seam (olaf_spark/metafs.py — PosixMetaFS is the only backend
+here; each op's atomicity contract is documented there, and an
+object-store implementation plugs in via set_metafs() without touching
+engine logic). --pages is read through Spark and may be any
+Hadoop-supported URI (s3://, hdfs://, ...).
 
 Reference analogue: Olaf's store / delete / re-store maintenance commands
 against the live LMDB store (README.md:245-272, src/olaf_db.c:309-311);

@@ -132,11 +132,15 @@ def _write_heads(out_dir: str, heads: np.ndarray) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    tmp = os.path.join(out_dir, "bigram_heads.parquet.tmp")
+    from olaf_spark.metafs import get_metafs
+
+    mfs = get_metafs()
+    final = os.path.join(out_dir, "bigram_heads.parquet")
+    tmp = mfs.tmp_path(final)
     pq.write_table(
         pa.table({"term_id": pa.array(heads.tolist(), type=pa.int64())}), tmp
     )
-    os.replace(tmp, os.path.join(out_dir, "bigram_heads.parquet"))
+    mfs.commit_file(tmp, final)
 
 
 #: per-dir head-array cache keyed by sidecar mtime — serving checks pair
@@ -238,25 +242,24 @@ def build_bigrams(
         # — fine: readers branch on has_bigram_rows before opening it
     cfg.save(out_dir)
     _write_heads(out_dir, heads)
-    # meta lands LAST (tmp + rename) — it is the commit marker; a crash
+    # meta lands LAST (atomic publish) — it is the commit marker; a crash
     # mid-build leaves bigrams_usable() False and serving falls back to the
     # positional path instead of trusting a partial pair row
-    meta_tmp = os.path.join(out_dir, "bigram_meta.json.tmp")
-    with open(meta_tmp, "w") as f:
-        json.dump(
-            {
-                "format_version": BIGRAM_FORMAT_VERSION,
-                "n_buckets": n_buckets,
-                "lo": lo,
-                "hi": hi,
-                "width": width,
-                "min_df": int(min_df),
-                "n_heads": int(heads.size),
-                "heads_fingerprint": _heads_fingerprint(heads),
-            },
-            f,
-        )
-    os.replace(meta_tmp, os.path.join(out_dir, "bigram_meta.json"))
+    from olaf_spark.metafs import get_metafs
+
+    get_metafs().publish_json(
+        os.path.join(out_dir, "bigram_meta.json"),
+        {
+            "format_version": BIGRAM_FORMAT_VERSION,
+            "n_buckets": n_buckets,
+            "lo": lo,
+            "hi": hi,
+            "width": width,
+            "min_df": int(min_df),
+            "n_heads": int(heads.size),
+            "heads_fingerprint": _heads_fingerprint(heads),
+        },
+    )
     return out_dir
 
 
@@ -383,20 +386,19 @@ def compact_bigrams(
         )
     _write_heads(out_dir, load_heads(part_dirs[0]))
     base_meta = metas[0]
-    meta_tmp = os.path.join(out_dir, "bigram_meta.json.tmp")
-    with open(meta_tmp, "w") as f:
-        json.dump(
-            {
-                "format_version": BIGRAM_FORMAT_VERSION,
-                "n_buckets": n_buckets,
-                "lo": lo,
-                "hi": hi,
-                "width": width,
-                "min_df": base_meta["min_df"],
-                "n_heads": base_meta["n_heads"],
-                "heads_fingerprint": base_meta["heads_fingerprint"],
-            },
-            f,
-        )
-    os.replace(meta_tmp, os.path.join(out_dir, "bigram_meta.json"))
+    from olaf_spark.metafs import get_metafs
+
+    get_metafs().publish_json(
+        os.path.join(out_dir, "bigram_meta.json"),
+        {
+            "format_version": BIGRAM_FORMAT_VERSION,
+            "n_buckets": n_buckets,
+            "lo": lo,
+            "hi": hi,
+            "width": width,
+            "min_df": base_meta["min_df"],
+            "n_heads": base_meta["n_heads"],
+            "heads_fingerprint": base_meta["heads_fingerprint"],
+        },
+    )
     return out_dir

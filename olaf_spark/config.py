@@ -59,9 +59,14 @@ class EngineConfig:
         return cls(**json.loads(s))
 
     def save(self, index_dir: str) -> None:
-        os.makedirs(index_dir, exist_ok=True)
-        with open(os.path.join(index_dir, "engine_config.json"), "w") as f:
-            f.write(self.to_json())
+        from olaf_spark.metafs import get_metafs
+
+        mfs = get_metafs()
+        mfs.ensure_dir(index_dir)
+        mfs.publish_bytes(
+            os.path.join(index_dir, "engine_config.json"),
+            self.to_json().encode("utf-8"),
+        )
 
     @classmethod
     def load(cls, index_dir: str) -> "EngineConfig":

@@ -101,8 +101,8 @@ def append_index(
     group — olaf_spark/bigram.py's core invariant.
 
     Commit protocol (Olaf analogue: LMDB's writer mutex + txn commit,
-    olaf_db.c:28-37): the delta directory is CLAIMED atomically with
-    os.mkdir before any data lands, so two concurrent appends can never
+    olaf_db.c:28-37): the delta directory is CLAIMED atomically via
+    metafs.claim_dir before any data lands, so two concurrent appends can never
     race onto the same delta_NNNN number; the delta only becomes visible
     to readers when stats.json lands last (_delta_dirs filters on it).
 
@@ -111,19 +111,21 @@ def append_index(
     finds the committed delta and returns it instead of appending a
     duplicate (idempotent under restart). A named delta assumes ONE writer
     per name at a time (Structured Streaming serializes epochs, which is
-    what makes the crashed-epoch RESUME below safe); the claim is still an
-    atomic os.mkdir so a mis-deployed second concurrent writer surfaces as
+    what makes the crashed-epoch RESUME below safe); the claim is still
+    atomic (metafs contract) so a mis-deployed second concurrent writer surfaces as
     a resumed build over committed lineage, never two builds interleaving
     uncoordinated into a half-claimed directory.
     """
+    from olaf_spark.metafs import get_metafs
+
+    mfs = get_metafs()
     base = Index.load(base_dir)
     root = os.path.join(base_dir, _DELTAS)
-    os.makedirs(root, exist_ok=True)
+    mfs.ensure_dir(root)
     if delta_name is not None:
         delta_dir = os.path.join(root, delta_name)
-        try:
-            os.mkdir(delta_dir)  # atomic claim, same as the numbered path
-        except FileExistsError:
+        # atomic claim, same as the numbered path
+        if not mfs.claim_dir(delta_dir):
             if os.path.exists(os.path.join(delta_dir, "stats.json")):
                 # committed replay: near-no-op — but honor with_positions,
                 # which an earlier run may not have requested (a committed
@@ -153,11 +155,9 @@ def append_index(
         n = len(os.listdir(root))  # count ALL entries incl. in-flight claims
         while True:
             delta_dir = os.path.join(root, f"delta_{n:04d}")
-            try:
-                os.mkdir(delta_dir)  # atomic claim (POSIX mkdir)
+            if mfs.claim_dir(delta_dir):  # atomic claim (metafs contract)
                 break
-            except FileExistsError:
-                n += 1
+            n += 1
     # positions (if requested) land BEFORE build_index so stats.json — the
     # delta's commit marker — implies the positional rows exist too (a
     # replayed committed delta must never be missing its positions)
@@ -728,13 +728,16 @@ def compact_index(
             "into a fresh out_dir (deltas appended since then are not "
             "foldable into a committed compaction)"
         )
-    os.makedirs(out_dir, exist_ok=True)
+    from olaf_spark.metafs import get_metafs
+
+    mfs = get_metafs()
+    mfs.ensure_dir(out_dir)
     cfg.save(out_dir)
     post_dir = os.path.join(out_dir, "postings")
     lin_dir = os.path.join(out_dir, "lineage")
     staging_root = os.path.join(out_dir, "_staging")
-    os.makedirs(post_dir, exist_ok=True)
-    os.makedirs(staging_root, exist_ok=True)
+    mfs.ensure_dir(post_dir)
+    mfs.ensure_dir(staging_root)
 
     # manifest: first run pins (tombstone snapshot, n_groups, n_parts);
     # a resume must match it — lineage rows identify done work by group
@@ -770,10 +773,7 @@ def compact_index(
             n_groups=n_groups,
             source=source,
         )
-        tmp = snap_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, snap_path)
+        mfs.publish_json(snap_path, manifest)
 
     dfs = [p.postings(spark) for p in group.parts]
     all_rows = dfs[0].withColumn("part", F.lit(0))
@@ -824,14 +824,14 @@ def compact_index(
             src = os.path.join(stage_dir, name)
             dst = os.path.join(post_dir, name)
             if os.path.exists(dst):
-                shutil.rmtree(dst)
+                mfs.remove_dir(dst)  # crashed prior attempt, never committed
             out_rows += pads.dataset(src, format="parquet").count_rows()
             out_bytes += sum(
                 os.path.getsize(os.path.join(dp, fn))
                 for dp, _dirs, fns in os.walk(src)
                 for fn in fns
             )
-            os.rename(src, dst)
+            mfs.promote_dir(src, dst)
         _write_lineage(
             [
                 dict(
@@ -844,10 +844,10 @@ def compact_index(
             ],
             lin_dir,
         )
-        shutil.rmtree(stage_dir, ignore_errors=True)
+        mfs.remove_dir(stage_dir, ignore_errors=True)
         if _after_group is not None:
             _after_group(g)
-    shutil.rmtree(staging_root, ignore_errors=True)
+    mfs.remove_dir(staging_root, ignore_errors=True)
 
     # carry the positional side index through compaction (Olaf analogue:
     # t1 timestamps ride every posting through store/merge automatically,
@@ -986,6 +986,7 @@ def compact_index(
         compacted_from=len(group.parts),
         build_wall_s=round(time.time() - t0, 3),
     )
-    with open(os.path.join(out_dir, "stats.json"), "w") as f:
-        json.dump(stats, f)
+    # stats.json is the compaction's COMMIT MARKER (readers and the
+    # re-run refusal above both gate on it) — atomic publish
+    mfs.publish_json(os.path.join(out_dir, "stats.json"), stats)
     return Index(out_dir, cfg, stats)

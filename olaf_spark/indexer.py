@@ -475,50 +475,20 @@ class Index:
 
 
 def locked_mutate_id_set(path: str, fn) -> set[int]:
-    """Serialized read-modify-write of a JSON int-set file under an O_EXCL
-    lockfile (Olaf's LMDB writer mutex, olaf_db.c:28-37, scaled down to a
-    maintenance op): the re-read happens INSIDE the lock, so two racing
-    delete/undelete calls truly converge on the union of their intents —
-    not just "each write is atomic" (tmp + os.replace additionally
-    guarantees a crash mid-write leaves the previous file intact). A
-    crashed holder's lock is taken over after 30 s by mtime. Advisory and
-    same-filesystem; O_EXCL is not reliable on NFSv2 — route cross-host
-    deletes through one maintenance process. Shared by the text index's
-    doc tombstones and the ANN index's vector tombstones.
+    """Serialized read-modify-write of a JSON int-set file under the
+    metafs exclusive lock (Olaf's LMDB writer mutex, olaf_db.c:28-37,
+    scaled down to a maintenance op): the re-read happens INSIDE the lock,
+    so two racing delete/undelete calls truly converge on the union of
+    their intents — not just "each write is atomic" (the publish_json
+    commit additionally guarantees a crash mid-write leaves the previous
+    file intact). Lock semantics (crash takeover, owner token, NFS
+    caveats) are the metafs.exclusive_lock contract. Shared by the text
+    index's doc tombstones and the ANN index's vector tombstones.
     """
-    import time as _time
-    import uuid
+    from olaf_spark.metafs import get_metafs
 
-    lock = path + ".lock"
-    token = uuid.uuid4().hex  # owner identity — release checks it below
-    while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, token.encode("ascii"))
-            os.close(fd)
-            break
-        except FileExistsError:
-            try:
-                if _time.time() - os.path.getmtime(lock) > 30.0:
-                    # stale lock from a crashed holder. Takeover must be
-                    # ATOMIC: rename-away first — only ONE waiter's rename
-                    # of the same source succeeds, so a second waiter can
-                    # never unlink the winner's freshly re-acquired lock
-                    # (the unlink-based takeover's TOCTOU). A live holder
-                    # slower than 30 s can still be usurped — that is the
-                    # documented mtime-lease trade-off of any
-                    # crash-recoverable file lock.
-                    stale = f"{lock}.stale.{uuid.uuid4().hex}"
-                    try:
-                        os.rename(lock, stale)
-                        os.unlink(stale)
-                    except FileNotFoundError:
-                        pass  # another waiter won the takeover race
-                    continue
-            except FileNotFoundError:
-                continue  # holder just released; retry immediately
-            _time.sleep(0.01)
-    try:
+    mfs = get_metafs()
+    with mfs.exclusive_lock(path + ".lock"):
         try:
             with open(path) as f:
                 cur = set(json.load(f))
@@ -526,45 +496,23 @@ def locked_mutate_id_set(path: str, fn) -> set[int]:
             cur = set()
         out = fn(cur)
         srt = sorted(out)
-        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(srt, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, path)
+        mfs.publish_json(path, srt)
         # parquet SIDECAR — the scale read path: a sorted int64 column loads
         # without parsing a JSON list of millions of ints (read_tombstones_arr
         # prefers it when at least as fresh as the json). Written INSIDE the
         # lock, AFTER the json (which stays the compat source of truth), via
-        # the same tmp+rename commit.
+        # the same whole-file commit.
         import numpy as _np
         import pyarrow as _pa
         import pyarrow.parquet as _pq
 
         side = os.path.splitext(path)[0] + ".parquet"
-        tmp2 = f"{side}.tmp.{uuid.uuid4().hex}"
+        tmp2 = mfs.tmp_path(side)
         _pq.write_table(
             _pa.table({"doc_id": _np.asarray(srt, dtype=_np.int64)}), tmp2
         )
-        os.replace(tmp2, side)
+        mfs.commit_file(tmp2, side)
         return out
-    finally:
-        # release ONLY if the lock is still ours: a holder stalled past the
-        # 30 s lease gets usurped (rename-takeover above), and its
-        # unconditional unlink would delete the USURPER's fresh lock —
-        # letting a third writer into the critical section. The token check
-        # shrinks that breach to the read->unlink instant, which requires a
-        # second full 30 s stall to matter.
-        try:
-            with open(lock) as lf:
-                still_mine = lf.read() == token
-        except FileNotFoundError:
-            still_mine = False  # usurped and released; nothing to do
-        if still_mine:
-            try:
-                os.unlink(lock)
-            except FileNotFoundError:
-                pass
 
 
 def read_tombstones_arr(index_dir: str) -> np.ndarray:
@@ -631,15 +579,18 @@ def _write_lineage(rows: list[dict], lin_dir: str) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    os.makedirs(lin_dir, exist_ok=True)
+    from olaf_spark.metafs import get_metafs
+
+    mfs = get_metafs()
+    mfs.ensure_dir(lin_dir)
     pdf = pd.DataFrame(rows).astype(_LINEAGE_SCHEMA_PD)
-    # write-then-rename: a crash mid-write leaves only a dot-prefixed tmp,
+    # write-then-commit: a crash mid-write leaves only a dot-prefixed tmp,
     # which pyarrow datasets and Spark's parquet reader both ignore — a
     # manifest either exists completely or not at all (commit-file pattern)
-    name = f"lineage-{uuid.uuid4().hex}.parquet"
-    tmp = os.path.join(lin_dir, f".{name}.tmp")
+    final = os.path.join(lin_dir, f"lineage-{uuid.uuid4().hex}.parquet")
+    tmp = mfs.tmp_path(final)
     pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
-    os.rename(tmp, os.path.join(lin_dir, name))
+    mfs.publish_new(tmp, final)
 
 
 def completed_buckets(spark: SparkSession, index_dir: str) -> set[int]:
@@ -674,11 +625,14 @@ def build_index(
     n_merge_tasks: int | None = None,
 ) -> Index:
     """Build (or resume) a materialized index at index_dir."""
+    from olaf_spark.metafs import get_metafs
+
     cfg = cfg or EngineConfig()
     t_start = time.time()
+    mfs = get_metafs()
     if not resume and os.path.exists(index_dir):
-        shutil.rmtree(index_dir)
-    os.makedirs(index_dir, exist_ok=True)
+        mfs.remove_dir(index_dir)
+    mfs.ensure_dir(index_dir)
     cfg.save(index_dir)
 
     seg_dir = os.path.join(index_dir, "segments")
@@ -837,6 +791,8 @@ def build_index(
         build_wall_s=time.time() - t_start,
         docs_per_s=(n_docs / (time.time() - t_start)),
     )
-    with open(os.path.join(index_dir, "stats.json"), "w") as f:
-        json.dump(stats, f, indent=1)
+    # stats.json is the build's COMMIT MARKER (Index.load and the delta
+    # replay path both gate on it) — publish atomically so a crash
+    # mid-write can't leave a truncated marker that reads as committed
+    mfs.publish_json(os.path.join(index_dir, "stats.json"), stats)
     return Index(index_dir, cfg, stats)

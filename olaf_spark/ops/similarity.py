@@ -314,12 +314,18 @@ def build_ann_index(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("sig", lsh_signature_col(F.col("v"), planes))
-    os.makedirs(out_dir, exist_ok=True)
+    from olaf_spark.metafs import get_metafs
+
+    mfs = get_metafs()
+    mfs.ensure_dir(out_dir)
     v.write.mode("overwrite").partitionBy("sig").parquet(
         os.path.join(out_dir, "vectors")
     )
-    with open(os.path.join(out_dir, "ann_meta.json"), "w") as f:
-        json.dump({"dim": dim, "n_planes": n_planes, "seed": seed}, f)
+    # the meta is the commit marker — atomic publish (metafs contract)
+    mfs.publish_json(
+        os.path.join(out_dir, "ann_meta.json"),
+        {"dim": dim, "n_planes": n_planes, "seed": seed},
+    )
     return out_dir
 
 
@@ -360,7 +366,7 @@ def append_ann_index(
     results over the live group are identical to a full rebuild.
 
     Commit protocol mirrors the text index: the delta dir is CLAIMED
-    atomically with os.mkdir (two concurrent appends can never race onto
+    atomically via metafs.claim_dir (two concurrent appends can never race onto
     one delta number), vectors land hive-partitioned by sig, and the
     delta's ann_meta.json lands LAST as the commit marker (_ann_delta_dirs
     filters on it). The base's planes are frozen (config-freeze invariant,
@@ -379,16 +385,17 @@ def append_ann_index(
             f"refusing to append an empty vector batch to {index_dir}: "
             "emb has no rows"
         )
+    from olaf_spark.metafs import get_metafs
+
+    mfs = get_metafs()
     root = os.path.join(index_dir, "deltas")
-    os.makedirs(root, exist_ok=True)
+    mfs.ensure_dir(root)
     n = len(os.listdir(root))  # count ALL entries incl. in-flight claims
     while True:
         delta_dir = os.path.join(root, f"delta_{n:04d}")
-        try:
-            os.mkdir(delta_dir)  # atomic claim (POSIX mkdir)
+        if mfs.claim_dir(delta_dir):  # atomic claim (metafs contract)
             break
-        except FileExistsError:
-            n += 1
+        n += 1
     v = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -396,10 +403,8 @@ def append_ann_index(
     v.write.mode("overwrite").partitionBy("sig").parquet(
         os.path.join(delta_dir, "vectors")
     )
-    tmp = os.path.join(delta_dir, "ann_meta.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(delta_dir, "ann_meta.json"))
+    # the delta's commit marker — atomic publish
+    mfs.publish_json(os.path.join(delta_dir, "ann_meta.json"), meta)
     return delta_dir
 
 
@@ -492,14 +497,15 @@ def compact_ann_index(spark, index_dir: str, out_dir: str) -> str:
             f"refusing to compact {index_dir}: no live vectors remain "
             "(every vector is tombstoned or the parts are empty)"
         )
-    os.makedirs(out_dir, exist_ok=True)
+    from olaf_spark.metafs import get_metafs
+
+    mfs = get_metafs()
+    mfs.ensure_dir(out_dir)
     scan.write.mode("overwrite").partitionBy("sig").parquet(
         os.path.join(out_dir, "vectors")
     )
-    tmp = os.path.join(out_dir, "ann_meta.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(out_dir, "ann_meta.json"))
+    # the compacted index's commit marker — atomic publish
+    mfs.publish_json(os.path.join(out_dir, "ann_meta.json"), meta)
     return out_dir
 
 

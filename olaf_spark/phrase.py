@@ -202,23 +202,22 @@ def build_positions(
     pos_dir = os.path.join(out_dir, "positions")
     packed.write.mode("overwrite").partitionBy("tb").parquet(pos_dir)
     cfg.save(out_dir)
-    # tmp + rename: the meta IS the commit marker (_check_positions refuses
-    # without it) — a crash mid-dump must not leave a truncated json that
-    # turns the clean 'rebuild with build_positions' refusal into a
-    # JSONDecodeError on every phrase query
-    meta_tmp = os.path.join(out_dir, "positions_meta.json.tmp")
-    with open(meta_tmp, "w") as f:
-        json.dump(
-            {
-                "n_buckets": n_buckets,
-                "format_version": POSITIONS_FORMAT_VERSION,
-                "lo": lo,
-                "hi": hi,
-                "width": width,
-            },
-            f,
-        )
-    os.replace(meta_tmp, os.path.join(out_dir, "positions_meta.json"))
+    # atomic publish: the meta IS the commit marker (_check_positions
+    # refuses without it) — a crash mid-dump must not leave a truncated
+    # json that turns the clean 'rebuild with build_positions' refusal
+    # into a JSONDecodeError on every phrase query
+    from olaf_spark.metafs import get_metafs
+
+    get_metafs().publish_json(
+        os.path.join(out_dir, "positions_meta.json"),
+        {
+            "n_buckets": n_buckets,
+            "format_version": POSITIONS_FORMAT_VERSION,
+            "lo": lo,
+            "hi": hi,
+            "width": width,
+        },
+    )
     return out_dir
 
 
@@ -393,19 +392,18 @@ def compact_positions(
     folded.write.mode("overwrite").partitionBy("tb").parquet(
         os.path.join(out_dir, "positions")
     )
-    meta_tmp = os.path.join(out_dir, "positions_meta.json.tmp")
-    with open(meta_tmp, "w") as f:
-        json.dump(
-            {
-                "n_buckets": n_buckets,
-                "format_version": POSITIONS_FORMAT_VERSION,
-                "lo": lo,
-                "hi": hi,
-                "width": width,
-            },
-            f,
-        )
-    os.replace(meta_tmp, os.path.join(out_dir, "positions_meta.json"))
+    from olaf_spark.metafs import get_metafs
+
+    get_metafs().publish_json(
+        os.path.join(out_dir, "positions_meta.json"),
+        {
+            "n_buckets": n_buckets,
+            "format_version": POSITIONS_FORMAT_VERSION,
+            "lo": lo,
+            "hi": hi,
+            "width": width,
+        },
+    )
     return out_dir
 
 
