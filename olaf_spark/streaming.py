@@ -162,6 +162,7 @@ def stream_bm25_queries(
     query_stream: DataFrame,
     index,
     k: int = 10,
+    batch_threshold: int = 64,
 ):
     """foreachBatch BM25 serving: each micro-batch of (query_id, query_text)
     rows is answered against the materialized index via the WAND scorer.
@@ -174,6 +175,13 @@ def stream_bm25_queries(
     sink (stream_index_appends) is committing deltas retrieve the newly
     appended docs, exactly like the batch query_job already does. The
     group is rebuilt only when the delta set changes.
+
+    FAT micro-batches (>= batch_threshold queries) route through the
+    distributed batch scorer (batch.batch_query_index[_group]) as ONE
+    Spark job instead of the driver-serial per-row loop — the loop is
+    right for a latency serving trickle, wrong for a bulk replay where
+    per-query driver latency (~15 ms) times B dominates; results are
+    rank/score-identical (tests/test_streaming.py).
 
     Returns (results_accumulator_list, foreachBatch_fn) — attach the fn with
     .writeStream.foreachBatch(fn). Incremental-index appends compose the
@@ -191,12 +199,75 @@ def stream_bm25_queries(
             state["group"] = IndexGroup.load(index.index_dir)
             state["sig"] = deltas
         group = state["group"] if deltas else None
-        for row in batch_df.collect():
+        rows = batch_df.collect()
+        if len(rows) >= batch_threshold:
+            from olaf_spark.batch import batch_query_index, batch_query_index_group
+
+            queries = [(row["query_id"], row["query_text"]) for row in rows]
+            if group is not None:
+                out = batch_query_index_group(spark, group, queries, k=k)
+            else:
+                out = batch_query_index(spark, index, queries, k=k)
+            for r in sorted(
+                out.collect(), key=lambda r: (r["query_id"], r["rank"])
+            ):
+                results.append((r["query_id"], r["rank"], r["doc_id"], r["score"]))
+            return
+        for row in rows:
             if group is not None:
                 hits = group.topk(row["query_text"], k=k)
             else:
                 hits = query_index(spark, index, row["query_text"], k=k)
             for rank, (doc_id, score) in enumerate(hits, start=1):
                 results.append((row["query_id"], rank, doc_id, score))
+
+    return results, handle
+
+
+def stream_phrase_queries(
+    spark: SparkSession,
+    query_stream: DataFrame,
+    index_dir: str,
+    k: int = 10,
+    min_tf: int = 1,
+    batch_threshold: int = 64,
+):
+    """foreachBatch EXACT-PHRASE serving — the phrase twin of
+    stream_bm25_queries, completing the streaming surface (Olaf's stdin
+    query loop serves the same matcher the batch path uses,
+    src/olaf.c:213-220).
+
+    Live-delta awareness needs no group cache here: phrase_topk itself
+    re-lists the delta directory on every call and refuses positionless
+    deltas (the group contract), so a `with_positions=True` append landing
+    mid-stream is visible to the very next micro-batch; when the index
+    carries a bigram side index, head-head phrases take the pair fast path
+    (olaf_spark/bigram.py) automatically. Fat micro-batches
+    (>= batch_threshold) route through batch_phrase_topk as ONE Spark job
+    (same group/tombstone snapshot semantics, per-query identical results).
+
+    Returns (results_accumulator_list, foreachBatch_fn); result tuples are
+    (query_id, rank, doc_id, phrase_tf).
+    """
+    from olaf_spark.phrase import batch_phrase_topk, phrase_topk
+
+    results: list[tuple] = []
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = batch_df.collect()
+        if len(rows) >= batch_threshold:
+            queries = [(row["query_id"], row["query_text"]) for row in rows]
+            out = batch_phrase_topk(spark, index_dir, queries, k=k, min_tf=min_tf)
+            for r in sorted(
+                out.collect(), key=lambda r: (r["query_id"], r["rank"])
+            ):
+                results.append(
+                    (r["query_id"], r["rank"], r["doc_id"], r["phrase_tf"])
+                )
+            return
+        for row in rows:
+            hits = phrase_topk(index_dir, row["query_text"], k=k, min_tf=min_tf)
+            for rank, (doc_id, tf) in enumerate(hits, start=1):
+                results.append((row["query_id"], rank, doc_id, tf))
 
     return results, handle

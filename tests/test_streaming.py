@@ -143,6 +143,111 @@ def test_stream_queries_see_live_deltas(spark, tmp_path):
         q.stop()
 
 
+def test_stream_phrase_queries_see_live_deltas(spark, tmp_path):
+    """Streamed PHRASE serving (round 5): a with_positions append landing
+    mid-stream is visible to later micro-batches — phrase_topk re-lists
+    the delta dir per call, so the handler needs no cache at all. The
+    needle phrase (last two tokens of doc 142) matches nothing before the
+    append and exactly doc 142 after it."""
+    from olaf_spark.config import EngineConfig
+    from olaf_spark.incremental import append_index
+    from olaf_spark.indexer import build_index
+    from olaf_spark.phrase import build_positions
+    from olaf_spark.streaming import stream_phrase_queries
+    from olaf_spark.synth import gen_pages
+
+    pages = gen_pages(spark, 200, seed=11).select("doc_id", "text").cache()
+    needle_doc = 142
+    needle_phrase = " ".join(
+        dict((r["doc_id"], r["text"]) for r in pages.collect())[needle_doc].split()[-2:]
+    )
+    base = str(tmp_path / "pix")
+    old = pages.where(f"doc_id < {needle_doc}")
+    build_index(spark, old, base, EngineConfig(), n_buckets=4)
+    build_positions(spark, old, base, EngineConfig(), n_buckets=4)
+
+    qdir = str(tmp_path / "pq")
+    spark.createDataFrame(
+        [(1, needle_phrase)], "query_id long, query_text string"
+    ).coalesce(1).write.parquet(qdir)
+    stream = spark.readStream.schema("query_id long, query_text string").parquet(qdir)
+    results, handle = stream_phrase_queries(spark, stream, base, k=5)
+    q = stream.writeStream.foreachBatch(handle).start()
+    try:
+        q.processAllAvailable()
+        assert all(qid != 1 or doc != needle_doc for qid, _, doc, _ in results) or not results
+
+        append_index(
+            spark, pages.where(f"doc_id >= {needle_doc}"), base,
+            n_buckets=4, with_positions=True,
+        )
+        spark.createDataFrame(
+            [(2, needle_phrase)], "query_id long, query_text string"
+        ).coalesce(1).write.mode("append").parquet(qdir)
+        q.processAllAvailable()
+        hits2 = [(rank, doc) for qid, rank, doc, _ in results if qid == 2]
+        assert any(doc == needle_doc for _, doc in hits2), (needle_phrase, results)
+    finally:
+        q.stop()
+
+
+def test_fat_microbatch_routes_through_batch_path(spark, tmp_path):
+    """A micro-batch with >= batch_threshold queries must route through the
+    distributed batch scorer — ONE Spark job for the whole batch (flat in
+    B), with results identical to the per-row serving loop."""
+    from olaf_spark.config import EngineConfig
+    from olaf_spark.indexer import build_index
+    from olaf_spark.streaming import stream_bm25_queries
+    from olaf_spark.synth import gen_pages
+
+    pages = gen_pages(spark, 120, seed=42).select("doc_id", "text")
+    index = build_index(spark, pages, str(tmp_path / "ix"), EngineConfig(), n_buckets=4)
+
+    B = 64
+    qrows = [
+        (i, f"w2 w17 w{i % 40}" if i % 2 else f"needle0 w{i % 29}") for i in range(B)
+    ]
+    qdir = str(tmp_path / "queries")
+    spark.createDataFrame(qrows, "query_id long, query_text string").coalesce(
+        1
+    ).write.parquet(qdir)
+    stream = spark.readStream.schema("query_id long, query_text string").parquet(qdir)
+
+    # serial referent (threshold above B -> per-row loop)
+    ref_results, ref_handle = stream_bm25_queries(
+        spark, stream, index, k=5, batch_threshold=B + 1
+    )
+    q = stream.writeStream.foreachBatch(ref_handle).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    fat_results, fat_handle = stream_bm25_queries(
+        spark, stream, index, k=5, batch_threshold=B
+    )
+    # drive the handler directly with the full batch to count its jobs
+    batch_df = spark.read.parquet(qdir)
+    tracker = spark.sparkContext.statusTracker()
+    # job-count calibration: one warm run (plan compile), then count
+    fat_handle(batch_df, 0)
+    fat_results.clear()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    fat_handle(batch_df, 1)
+    n_jobs = len(tracker.getJobIdsForGroup(None) or []) - before
+    # flat in B: the input collect + one batch plan + its result collect is
+    # a handful of jobs regardless of B — the per-row loop would schedule
+    # >= B (=64) jobs
+    assert n_jobs <= 8, n_jobs
+
+    by_q = lambda res: {  # noqa: E731
+        qid: [(r, d) for q2, r, d, _ in sorted(res) if q2 == qid]
+        for qid in {t[0] for t in res}
+    }
+    assert by_q(fat_results) == by_q(ref_results)
+    # scores match too (identical scorer core)
+    assert {
+        (qid, rank, doc, round(s, 9)) for qid, rank, doc, s in fat_results
+    } == {(qid, rank, doc, round(s, 9)) for qid, rank, doc, s in ref_results}
+
+
 def test_foreachbatch_bm25_serving(spark, tmp_path):
     from olaf_spark.config import EngineConfig
     from olaf_spark.indexer import build_index
