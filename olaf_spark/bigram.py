@@ -144,8 +144,11 @@ def _write_heads(out_dir: str, heads: np.ndarray) -> None:
 
 
 #: per-dir head-array cache keyed by sidecar mtime — serving checks pair
-#: authoritativeness on every phrase query and must not re-read parquet
+#: authoritativeness on every phrase query and must not re-read parquet.
+#: LRU-bounded like phrase._TS_ARR_CACHE (long-lived drivers touching many
+#: index dirs must not accumulate dead arrays)
 _HEADS_CACHE: dict[str, tuple[float, np.ndarray]] = {}
+_HEADS_CACHE_MAX = 256
 
 
 def load_heads(d: str) -> np.ndarray:
@@ -154,12 +157,13 @@ def load_heads(d: str) -> np.ndarray:
 
     path = os.path.join(d, "bigram_heads.parquet")
     mtime = os.path.getmtime(path)
-    hit = _HEADS_CACHE.get(d)
-    if hit is not None and hit[0] == mtime:
-        return hit[1]
-    arr = pq.read_table(path)["term_id"].to_numpy().astype(np.int64)
-    _HEADS_CACHE[d] = (mtime, arr)
-    return arr
+    hit = _HEADS_CACHE.pop(d, None)
+    if hit is None or hit[0] != mtime:
+        hit = (mtime, pq.read_table(path)["term_id"].to_numpy().astype(np.int64))
+    _HEADS_CACHE[d] = hit
+    while len(_HEADS_CACHE) > _HEADS_CACHE_MAX:
+        _HEADS_CACHE.pop(next(iter(_HEADS_CACHE)))
+    return hit[1]
 
 
 def build_bigrams(

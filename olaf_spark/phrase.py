@@ -537,8 +537,12 @@ def positions_usable(d: str) -> bool:
 
 #: per-dir tombstone-array cache keyed by (json mtime, sidecar mtime) — the
 #: phrase paths take directory strings (no Index instance to cache on), and
-#: without this every phrase query re-reads each part's delete set
+#: without this every phrase query re-reads each part's delete set.
+#: LRU-bounded: a long-lived driver touching many index dirs must not
+#: accumulate dead arrays (same lifetime class as the atexit-cleaned
+#: _ANN_CACHE; pop+reinsert keeps dict insertion order = recency order)
 _TS_ARR_CACHE: dict[str, tuple[tuple, np.ndarray]] = {}
+_TS_ARR_CACHE_MAX = 256
 
 
 def _union_tombstones_arr(part_dirs: list[str]):
@@ -556,9 +560,12 @@ def _union_tombstones_arr(part_dirs: list[str]):
             except FileNotFoundError:
                 sig.append(None)
         sig = tuple(sig)
-        hit = _TS_ARR_CACHE.get(d)
+        hit = _TS_ARR_CACHE.pop(d, None)
         if hit is None or hit[0] != sig:
-            _TS_ARR_CACHE[d] = hit = (sig, read_tombstones_arr(d))
+            hit = (sig, read_tombstones_arr(d))
+        _TS_ARR_CACHE[d] = hit
+        while len(_TS_ARR_CACHE) > _TS_ARR_CACHE_MAX:
+            _TS_ARR_CACHE.pop(next(iter(_TS_ARR_CACHE)))
         if hit[1].size:
             arrs.append(hit[1])
     if not arrs:
@@ -955,26 +962,42 @@ def _make_phrase_fanout(bsubs):
     import pandas as pd
 
     def fan(pdf_iter):
+        # subscription map flattened ONCE per task into CSR-style arrays:
+        # sorted term_ids + per-term (offset, len) into flat qid/ppos — the
+        # per-row fan-out is then a searchsorted + repeat + one gather
+        # (no Python loop over rows; each subscribed term has >= 1 entry,
+        # so every gathered range is non-empty as _ranges_gather_index
+        # requires)
         subs = bsubs.value[0]
+        items = sorted(subs.items())
+        sub_tids = np.asarray([t for t, _ in items], dtype=np.int64)
+        sub_lens = np.asarray([len(v) for _, v in items], dtype=np.int64)
+        sub_offs = np.concatenate(([0], np.cumsum(sub_lens)))[:-1]
+        flat_qid = np.asarray(
+            [q for _, v in items for q, _ in v], dtype=np.int64
+        )
+        flat_ppos = np.asarray(
+            [p for _, v in items for _, p in v], dtype=np.int32
+        )
         for pdf in pdf_iter:
             if not len(pdf):
                 continue
             tids = pdf["term_id"].to_numpy(dtype=np.int64)
-            take: list[int] = []
-            qid_l: list[int] = []
-            ppos_l: list[int] = []
-            for i, t in enumerate(tids):
-                for qid, ppos in subs.get(int(t), ()):
-                    take.append(i)
-                    qid_l.append(qid)
-                    ppos_l.append(ppos)
-            if not take:
+            at = np.searchsorted(sub_tids, tids)
+            ok = (at < sub_tids.size) & (
+                sub_tids[np.minimum(at, sub_tids.size - 1)] == tids
+            )
+            rows = np.flatnonzero(ok)
+            if rows.size == 0:
                 continue  # row-group stats pruning is approximate
+            sidx = at[rows]
+            take = np.repeat(rows, sub_lens[sidx])
+            g = _ranges_gather_index(sub_offs[sidx], sub_lens[sidx])
             sub = pdf.iloc[take]
             yield pd.DataFrame(
                 {
-                    "query_id": np.asarray(qid_l, dtype=np.int64),
-                    "ppos": np.asarray(ppos_l, dtype=np.int32),
+                    "query_id": flat_qid[g],
+                    "ppos": flat_ppos[g],
                     "part": sub["part"].to_numpy(dtype=np.int32),
                     "bucket": sub["bucket"].to_numpy(dtype=np.int32),
                     "doc_ids_bin": sub["doc_ids_bin"].to_numpy(),
