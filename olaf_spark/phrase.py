@@ -46,6 +46,7 @@ main index build — no merge stage).
 
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
@@ -1026,9 +1027,10 @@ def _make_phrase_verify(bsubs):
     )
 
     def verify(key, pdf):
-        _, nterms, ts_sorted = bsubs.value
+        _, qoffs, ts_sorted = bsubs.value
         qid = int(key[0])
-        nt = nterms[qid]
+        offs_q = qoffs[qid]  # the query's unit OFFSETS (not 0..nt-1 when a
+        #                      pair unit covers two adjacent positions)
         data: dict[int, list[dict]] = {}
         ppos_np = pdf["ppos"].to_numpy(dtype=np.int64)
         for i in range(len(pdf)):
@@ -1044,17 +1046,17 @@ def _make_phrase_verify(bsubs):
                     offs=np.asarray(pdf["pos_offs"].iloc[i], dtype=np.int64),
                 )
             )
-        if len(data) != nt:
-            return empty  # some phrase term absent from this doc range
+        if set(data) != set(offs_q):
+            return empty  # some phrase unit absent from this doc range
         cand = None
-        for p in range(nt):
+        for p in offs_q:
             dset = np.unique(np.concatenate([r["ids"] for r in data[p]]))
             cand = dset if cand is None else np.intersect1d(cand, dset, assume_unique=True)
         if ts_sorted is not None and ts_sorted.size and cand.size:
             cand = cand[tombstone_keep_mask(cand, ts_sorted)]
         if cand.size == 0:
             return empty
-        docs, tfs = _phrase_tfs(cand, data, [(p, p) for p in range(nt)])
+        docs, tfs = _phrase_tfs(cand, data, [(p, p) for p in offs_q])
         if docs.size == 0:
             return empty
         return pd.DataFrame(
@@ -1068,6 +1070,23 @@ def _make_phrase_verify(bsubs):
     return verify
 
 
+def _bigram_buckets_match(d: str) -> bool:
+    """True when the part's bigram rows bucket EXACTLY like its positional
+    rows ((lo, width, n_buckets) equal) — the precondition for sharing the
+    batch path's (query, part, bucket) co-location key. Never raises."""
+    from olaf_spark.bigram import _read_meta
+
+    bm = _read_meta(d)
+    if bm is None:
+        return False
+    try:
+        with open(os.path.join(d, "positions_meta.json")) as f:
+            pm = json.load(f)
+        return all(bm[k] == pm[k] for k in ("lo", "width", "n_buckets"))
+    except (FileNotFoundError, json.JSONDecodeError, KeyError, TypeError):
+        return False
+
+
 def batch_phrase_topk(
     spark: SparkSession,
     base_dir: str,
@@ -1075,6 +1094,7 @@ def batch_phrase_topk(
     k: int = 10,
     cfg: EngineConfig | None = None,
     min_tf: int = 1,
+    use_bigrams: bool | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, phrase_tf, rank) — exact-phrase top-k for EVERY
     query in the batch as ONE distributed plan over the positional rows
@@ -1082,21 +1102,31 @@ def batch_phrase_topk(
     bulk-query protocol, eval/olaf_benchmark/olaf_benchmark.rb:76-81).
 
     Shape (100 TB / 1000 executors):
-      driver   tokenize B phrases, broadcast {term_id -> [(query, ppos)]}
-               + per-query term counts + the group tombstone snapshot
-      scan     every part's positions parquet pruned by hive tb partition
-               AND term_id row-group stats — only the batch's terms' rows
-               are read, buffers stay PACKED through the fan-out
-      shuffle  one exchange keyed (query, part, bucket): all terms of one
+      driver   cover each phrase with VERIFICATION UNITS (pair units from
+               the bigram side index for head-head adjacencies —
+               phrase_units — else single terms), broadcast
+               {posting_key -> [(query, unit_offset)]} + per-query offset
+               tuples + the group tombstone snapshot
+      scan     every part's positions parquet (single units) and bigrams
+               parquet (pair units), each pruned by hive tb partition AND
+               key row-group stats — only the batch's units' rows are
+               read, buffers stay PACKED through the fan-out
+      shuffle  one exchange keyed (query, part, bucket): all units of one
                doc range group together, so adjacency verifies group-locally
-               (a doc lives in exactly one part and one bucket)
+               (a doc lives in exactly one part and one bucket; positions
+               and bigrams share the bucketing contract)
       verify   applyInPandas: the same vectorized candidate-intersection +
                scattered-gather decode + key-intersection core as serving
       top-k    rank<=k per query plans as WindowGroupLimit (map-side
                partial top-k before the final exchange)
 
+    use_bigrams: None = auto (pair units when every part carries a bigram
+    index with one shared head set); False = singles only; True = require.
+    A head-head pair's row is ~100x smaller than its member terms' rows,
+    so pair units shrink BOTH the scan and the exchange.
+
     Per query, (doc_id, phrase_tf) sets are identical to phrase_topk
-    (tests/test_phrase.py); job count is flat in B.
+    (tests/test_phrase.py, tests/test_bigram.py); job count is flat in B.
     """
     from pyspark.sql import Window
 
@@ -1107,8 +1137,31 @@ def batch_phrase_topk(
     for d in part_dirs:
         _check_positions(d)
 
+    heads = None
+    if use_bigrams is not False:
+        from olaf_spark.bigram import group_heads
+
+        heads = group_heads(part_dirs)
+        # the (query, part, bucket) exchange key co-locates a doc's single
+        # AND pair rows only when both side indexes bucket identically —
+        # they do when built over the same docs with the same n_buckets
+        # (the shared contract), but a mismatched rebuild must degrade
+        # here, not silently split a doc's units across two verify groups
+        if heads is not None and not all(
+            _bigram_buckets_match(d) for d in part_dirs
+        ):
+            heads = None
+        if use_bigrams is True and heads is None:
+            raise ValueError(
+                "use_bigrams=True but the group cannot serve pair units "
+                "(a part lacks bigrams, head sets differ, or the bigram "
+                "bucketing does not match the positional bucketing) — "
+                f"run build_bigrams on {part_dirs}"
+            )
+
     subs: dict[int, list[tuple[int, int]]] = {}
-    nterms: dict[int, int] = {}
+    pair_keys: set[int] = set()
+    qoffs: dict[int, tuple] = {}
     seen_qids: set[int] = set()
     for qid, text in queries:
         if int(qid) in seen_qids:
@@ -1119,26 +1172,50 @@ def batch_phrase_topk(
         qterms = tokenize_py(text, cfg)  # ORDER MATTERS — not deduped
         if not qterms:
             continue
-        nterms[int(qid)] = len(qterms)
-        for ppos, t in enumerate(qterms):
-            subs.setdefault(term_id_py(t), []).append((int(qid), ppos))
+        tids = [term_id_py(t) for t in qterms]
+        units = phrase_units(qterms, tids, heads)
+        qoffs[int(qid)] = tuple(off for _, off in units)
+        for (tag, key_id), off in units:
+            if tag == "p":
+                pair_keys.add(key_id)
+            subs.setdefault(key_id, []).append((int(qid), off))
     out_schema = "query_id long, doc_id long, phrase_tf long, rank long"
     if not subs:
         return spark.createDataFrame([], out_schema)
 
     ts_sorted = _union_tombstones_arr(part_dirs)
-    bsubs = spark.sparkContext.broadcast((subs, nterms, ts_sorted))
+    bsubs = spark.sparkContext.broadcast((subs, qoffs, ts_sorted))
 
-    tids_all = sorted(subs)
-    tbs = sorted({t % cfg.n_segments for t in tids_all})
+    single_ids = sorted(set(subs) - pair_keys)
+    pair_ids = sorted(pair_keys)
     scan = None
-    for pi, d in enumerate(part_dirs):
-        r = (
-            spark.read.parquet(os.path.join(d, "positions"))
-            .where(F.col("tb").isin(tbs) & F.col("term_id").isin(tids_all))
-            .withColumn("part", F.lit(pi))
-        )
-        scan = r if scan is None else scan.unionByName(r)
+    if single_ids:
+        tbs = sorted({t % cfg.n_segments for t in single_ids})
+        for pi, d in enumerate(part_dirs):
+            r = (
+                spark.read.parquet(os.path.join(d, "positions"))
+                .where(F.col("tb").isin(tbs) & F.col("term_id").isin(single_ids))
+                .withColumn("part", F.lit(pi))
+            )
+            scan = r if scan is None else scan.unionByName(r)
+    if pair_ids:
+        from olaf_spark.bigram import has_bigram_rows
+
+        ptbs = sorted({t % cfg.n_segments for t in pair_ids})
+        for pi, d in enumerate(part_dirs):
+            # committed-but-rowless parts hold only _SUCCESS under bigrams/
+            # — unreadable by a blind parquet open, and they contribute
+            # nothing (authoritative empty)
+            if not has_bigram_rows(d):
+                continue
+            r = (
+                spark.read.parquet(os.path.join(d, "bigrams"))
+                .where(F.col("tb").isin(ptbs) & F.col("term_id").isin(pair_ids))
+                .withColumn("part", F.lit(pi))
+            )
+            scan = r if scan is None else scan.unionByName(r)
+    if scan is None:  # all-pair batch over an index whose parts hold no
+        return spark.createDataFrame([], out_schema)  # pair rows at all
 
     verified = (
         scan.mapInPandas(_make_phrase_fanout(bsubs), PHRASE_STAGE1_SCHEMA)

@@ -129,6 +129,7 @@ def stream_index_appends(
     base_dir: str,
     n_buckets: int = 8,
     with_positions: bool = False,
+    with_bigrams: bool = False,
 ):
     """foreachBatch handler: each micro-batch of documents appends to the
     index as a delta (incremental.append_index) — Olaf's live store append
@@ -136,7 +137,10 @@ def stream_index_appends(
     as Structured Streaming. Queries through IndexGroup see every completed
     batch; rank/score-identical to a clean rebuild over all ingested docs
     (tests/test_incremental.py). with_positions=True keeps phrase queries
-    serving through the stream (each delta carries its positional rows).
+    serving through the stream (each delta carries its positional rows);
+    with_bigrams=True additionally keeps head-head pairs on the bigram
+    fast path (each delta inherits the base's head set — the base must
+    carry a bigram side index, olaf_spark/bigram.py).
     """
     from olaf_spark.incremental import append_index
 
@@ -152,6 +156,7 @@ def stream_index_appends(
             spark, batch_df, base_dir, n_buckets=n_buckets,
             delta_name=f"delta_epoch_{int(epoch_id):010d}",
             with_positions=with_positions,
+            with_bigrams=with_bigrams,
         )
 
     return handle

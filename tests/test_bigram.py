@@ -351,6 +351,54 @@ def test_bigrams_usable_never_raises(tmp_path, bg_index):
             json.dump(good, f)
 
 
+def test_batch_phrase_pair_units_match_serving(spark, bg_index):
+    """batch_phrase_topk with pair units: per-query answers identical to
+    serving (which matches the referent) for pair / trigram / mixed /
+    repeated / single / absent phrases — and identical to the singles-only
+    batch plan."""
+    from olaf_spark.phrase import batch_phrase_topk
+
+    _, d = bg_index
+    batch = [(i, p) for i, p in enumerate(PHRASES)]
+
+    def per_q(df):
+        out: dict[int, list[tuple[int, int]]] = {}
+        for r in sorted(df.collect(), key=lambda r: (r["query_id"], r["rank"])):
+            out.setdefault(r["query_id"], []).append((r["doc_id"], r["phrase_tf"]))
+        return out
+
+    got_bg = per_q(batch_phrase_topk(spark, d, batch, k=10, use_bigrams=True))
+    got_pos = per_q(batch_phrase_topk(spark, d, batch, k=10, use_bigrams=False))
+    for qid, text in batch:
+        want = phrase_topk(d, text, k=10)
+        assert got_bg.get(qid, []) == want, (qid, text)
+        assert got_pos.get(qid, []) == want, (qid, text)
+
+
+def test_batch_phrase_bucket_mismatch_degrades(spark, bg_index, tmp_path):
+    """Bigrams rebuilt with a DIFFERENT n_buckets than positions: the
+    (query, part, bucket) co-location key would split a doc's units across
+    verify groups — auto mode must degrade to singles (correct answers),
+    required mode must refuse."""
+    import pytest as _pytest
+
+    from olaf_spark.indexer import build_index
+    from olaf_spark.phrase import batch_phrase_topk
+
+    rows, _ = bg_index
+    pages = spark.createDataFrame(rows[:120], "doc_id long, text string")
+    d = str(tmp_path / "bm")
+    build_index(spark, pages, d, CFG, n_buckets=4)
+    build_positions(spark, pages, d, CFG, n_buckets=4)
+    build_bigrams(spark, pages, d, CFG, n_buckets=2, min_df=5)  # mismatched
+    batch = [(0, "w2 w3")]
+    got = batch_phrase_topk(spark, d, batch, k=10).collect()
+    want = phrase_topk(d, "w2 w3", k=10, use_bigrams=False)
+    assert [(r["doc_id"], r["phrase_tf"]) for r in sorted(got, key=lambda r: r["rank"])] == want
+    with _pytest.raises(ValueError, match="pair units"):
+        batch_phrase_topk(spark, d, batch, k=10, use_bigrams=True)
+
+
 def test_heads_cache_tracks_mtime(bg_index, tmp_path):
     """load_heads is cached per dir but must re-read after a rebuild (the
     sidecar's mtime is the invalidation key, like the tombstone sidecar)."""
