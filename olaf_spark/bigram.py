@@ -188,9 +188,20 @@ def build_bigrams(
     bounds, identical width formula), so within one part the bigram rows
     and the positional rows share doc-range buckets — the batch phrase
     path's co-location key works across both."""
+    from olaf_spark.metafs import get_metafs
+
     cfg = cfg or EngineConfig()
+    mfs = get_metafs()
     if os.path.exists(os.path.join(out_dir, "engine_config.json")):
         EngineConfig.load(out_dir).check_compatible(cfg)
+    # REBUILD over committed bigrams: retract the commit marker (and the
+    # stale rows) FIRST — a crash mid-rebuild must leave bigrams_usable()
+    # False (serving degrades to the positional path), never a committed
+    # meta over partial pair rows, which absence-is-authoritative would
+    # turn into silently wrong head-head answers
+    mfs.remove_file(os.path.join(out_dir, "bigram_meta.json"))
+    if os.path.isdir(os.path.join(out_dir, "bigrams")):
+        mfs.remove_dir(os.path.join(out_dir, "bigrams"), ignore_errors=True)
     bounds = docs.agg(
         F.min(F.col(id_col)).alias("lo"),
         F.max(F.col(id_col)).alias("hi"),
@@ -247,11 +258,10 @@ def build_bigrams(
     cfg.save(out_dir)
     _write_heads(out_dir, heads)
     # meta lands LAST (atomic publish) — it is the commit marker; a crash
-    # mid-build leaves bigrams_usable() False and serving falls back to the
-    # positional path instead of trusting a partial pair row
-    from olaf_spark.metafs import get_metafs
-
-    get_metafs().publish_json(
+    # mid-build (first build OR rebuild, see the retraction above) leaves
+    # bigrams_usable() False and serving falls back to the positional path
+    # instead of trusting a partial pair row
+    mfs.publish_json(
         os.path.join(out_dir, "bigram_meta.json"),
         {
             "format_version": BIGRAM_FORMAT_VERSION,
@@ -267,19 +277,41 @@ def build_bigrams(
     return out_dir
 
 
+#: per-dir meta cache keyed by bigram_meta.json mtime — the serving gate
+#: (group_heads -> _read_meta) runs on EVERY phrase query; without this a
+#: long-lived driver pays one json open+parse per part per query (an NFS
+#: round trip each in the documented deployment). LRU-bounded like
+#: _HEADS_CACHE.
+_META_CACHE: dict[str, tuple[float | None, dict | None]] = {}
+
+
 def _read_meta(d: str) -> dict | None:
+    path = os.path.join(d, "bigram_meta.json")
     try:
-        with open(os.path.join(d, "bigram_meta.json")) as f:
-            meta = json.load(f)
-        if (
-            isinstance(meta, dict)
-            and meta.get("format_version") == BIGRAM_FORMAT_VERSION
-            and isinstance(meta.get("heads_fingerprint"), str)
-        ):
-            return meta
-    except (FileNotFoundError, json.JSONDecodeError):
-        pass
-    return None
+        mtime = os.path.getmtime(path)
+    except FileNotFoundError:
+        mtime = None
+    hit = _META_CACHE.pop(d, None)
+    if hit is not None and hit[0] == mtime:
+        _META_CACHE[d] = hit
+        return hit[1]
+    meta_out: dict | None = None
+    if mtime is not None:
+        try:
+            with open(path) as f:
+                meta = json.load(f)
+            if (
+                isinstance(meta, dict)
+                and meta.get("format_version") == BIGRAM_FORMAT_VERSION
+                and isinstance(meta.get("heads_fingerprint"), str)
+            ):
+                meta_out = meta
+        except (FileNotFoundError, json.JSONDecodeError):
+            meta_out = None
+    _META_CACHE[d] = (mtime, meta_out)
+    while len(_META_CACHE) > _HEADS_CACHE_MAX:
+        _META_CACHE.pop(next(iter(_META_CACHE)))
+    return meta_out
 
 
 def bigrams_usable(d: str) -> bool:
@@ -293,19 +325,43 @@ def bigrams_usable(d: str) -> bool:
     )
 
 
+#: per-dir row-presence cache keyed by the bigrams/ root mtime — every
+#: committed (re)build creates/removes tb= partition dirs directly under
+#: the root, bumping its mtime, so the key invalidates on rebuild. Saves
+#: an os.walk per part per pair-unit query.
+_ROWS_CACHE: dict[str, tuple[float, bool]] = {}
+
+
 def has_bigram_rows(d: str) -> bool:
-    """True when <d>/bigrams holds at least one parquet file. An empty
-    DataFrame written with partitionBy materializes only _SUCCESS —
-    unreadable by spark.read.parquet AND schemaless for pyarrow dataset
-    filters — so every reader must branch on this instead of opening the
-    directory blind."""
+    """True when <d>/bigrams holds at least one COMMITTED parquet file
+    (hidden/_-prefixed dirs and files — Spark _temporary task attempts,
+    _SUCCESS, dot-tmp strays — are ignored, matching what the parquet
+    readers themselves skip). An empty DataFrame written with partitionBy
+    materializes only _SUCCESS — unreadable by spark.read.parquet AND
+    schemaless for pyarrow dataset filters — so every reader must branch
+    on this instead of opening the directory blind."""
     root = os.path.join(d, "bigrams")
-    if not os.path.isdir(root):
+    try:
+        mtime = os.path.getmtime(root)
+    except FileNotFoundError:
         return False
-    for _, _, files in os.walk(root):
-        if any(f.endswith(".parquet") for f in files):
-            return True
-    return False
+    hit = _ROWS_CACHE.pop(d, None)
+    if hit is not None and hit[0] == mtime:
+        _ROWS_CACHE[d] = hit
+        return hit[1]
+    found = False
+    for cur, dirs, files in os.walk(root):
+        dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
+        if any(
+            f.endswith(".parquet") and not f.startswith(("_", "."))
+            for f in files
+        ):
+            found = True
+            break
+    _ROWS_CACHE[d] = (mtime, found)
+    while len(_ROWS_CACHE) > _HEADS_CACHE_MAX:
+        _ROWS_CACHE.pop(next(iter(_ROWS_CACHE)))
+    return found
 
 
 def group_heads(part_dirs: list[str]) -> np.ndarray | None:
@@ -355,6 +411,11 @@ def compact_bigrams(
             f"bigram head sets differ across parts ({sorted(fps)}) — "
             "fold would mix authoritativeness; rebuild with build_bigrams"
         )
+    from olaf_spark.metafs import get_metafs
+
+    # same rebuild-retraction as build_bigrams: if out_dir already carries
+    # committed bigrams, kill the marker before touching rows
+    get_metafs().remove_file(os.path.join(out_dir, "bigram_meta.json"))
     lo = min(m["lo"] for m in metas)
     hi = max(m["hi"] for m in metas)
     n_buckets = max(m["n_buckets"] for m in metas)

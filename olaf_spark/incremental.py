@@ -178,11 +178,10 @@ def append_index(
             text_col=text_col, id_col=id_col, n_buckets=n_buckets,
         )
     if with_bigrams:
-        if new_docs.limit(1).count() == 0:
-            raise ValueError(
-                f"refusing to append an empty batch to {base_dir}: "
-                "new_docs has no rows (n_docs=0)"
-            )
+        # no empty-batch pre-guard here (unlike positions): build_bigrams
+        # counts rows in its own bounds agg and refuses with a clean
+        # message, so a second limit(1).count() job per append would be
+        # pure overhead
         _append_bigrams(
             spark, new_docs, base_dir, delta_dir, base.cfg,
             text_col, id_col, n_buckets,

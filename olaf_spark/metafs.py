@@ -26,8 +26,12 @@ Atomicity contract per op (what any implementation MUST provide):
                           readers never observe a partial dst. dst must
                           not exist. (POSIX: rename — same filesystem;
                           object store: manifest swap, not object copy.)
-  remove_dir(path)        recursive delete of an UNCOMMITTED dir (crashed
-                          partials); never used on committed data.
+  remove_dir(path)        recursive delete of a dir this engine owns:
+                          crashed uncommitted partials, or a committed
+                          tree being INTENTIONALLY replaced (rebuild /
+                          non-resume build) — a backend must support both.
+  remove_file(path)       retract one committed file (commit-marker
+                          invalidation before a rebuild).
   publish_json/bytes      whole-file commit with overwrite: readers see
                           the old content or the new, never a prefix, and
                           a crash mid-publish leaves the old file intact.
@@ -86,6 +90,16 @@ class PosixMetaFS:
 
     def remove_dir(self, path: str, ignore_errors: bool = False) -> None:
         shutil.rmtree(path, ignore_errors=ignore_errors)
+
+    def remove_file(self, path: str, missing_ok: bool = True) -> None:
+        """Retract a single committed file — used to INVALIDATE a commit
+        marker before rebuilding what it covers (readers degrade while the
+        rebuild runs instead of trusting partial data)."""
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            if not missing_ok:
+                raise
 
     def publish_bytes(self, path: str, data: bytes) -> None:
         tmp = f"{path}.tmp.{uuid.uuid4().hex}"

@@ -318,6 +318,10 @@ def build_ann_index(
 
     mfs = get_metafs()
     mfs.ensure_dir(out_dir)
+    # rebuild retraction: a crash while overwriting vectors/ must leave
+    # the dir without a commit marker (probes refuse), never the OLD meta
+    # over partially-rewritten vectors
+    mfs.remove_file(os.path.join(out_dir, "ann_meta.json"))
     v.write.mode("overwrite").partitionBy("sig").parquet(
         os.path.join(out_dir, "vectors")
     )
@@ -501,6 +505,9 @@ def compact_ann_index(spark, index_dir: str, out_dir: str) -> str:
 
     mfs = get_metafs()
     mfs.ensure_dir(out_dir)
+    # rebuild retraction, same as build_ann_index: no stale marker may
+    # survive over partially-rewritten vectors
+    mfs.remove_file(os.path.join(out_dir, "ann_meta.json"))
     scan.write.mode("overwrite").partitionBy("sig").parquet(
         os.path.join(out_dir, "vectors")
     )

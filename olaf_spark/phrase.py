@@ -172,7 +172,6 @@ def build_positions(
     n_buckets: int = 16,
 ) -> str:
     """Materialize the positional side index under <out_dir>/positions."""
-    import json
 
     cfg = cfg or EngineConfig()
     # config-freeze invariant (olaf_config.h:46-50): when out_dir already
@@ -181,6 +180,13 @@ def build_positions(
     # the main postings under a different contract on the next load
     if os.path.exists(os.path.join(out_dir, "engine_config.json")):
         EngineConfig.load(out_dir).check_compatible(cfg)
+    # REBUILD over committed positions: retract the commit marker FIRST —
+    # a crash mid-rebuild must leave _check_positions refusing loudly,
+    # never the old meta over partially-overwritten rows (which would
+    # serve silently wrong phrase answers)
+    from olaf_spark.metafs import get_metafs
+
+    get_metafs().remove_file(os.path.join(out_dir, "positions_meta.json"))
     bounds = docs.agg(
         F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
     ).collect()[0]
@@ -207,8 +213,6 @@ def build_positions(
     # refuses without it) — a crash mid-dump must not leave a truncated
     # json that turns the clean 'rebuild with build_positions' refusal
     # into a JSONDecodeError on every phrase query
-    from olaf_spark.metafs import get_metafs
-
     get_metafs().publish_json(
         os.path.join(out_dir, "positions_meta.json"),
         {
@@ -351,7 +355,6 @@ def compact_positions(
     dropped using the SAME snapshot the postings fold used. positions_meta
     lands LAST (tmp + rename) — the fold either completed or phrase_topk
     still refuses loudly."""
-    import json
 
     metas = []
     for d in part_dirs:
@@ -499,7 +502,6 @@ def _positions_for_docs(
 def _check_positions(d: str) -> None:
     """Refuse loudly when a part has no (or a stale-layout) positional side
     index — a silent partial phrase answer would be worse."""
-    import json
 
     meta_path = os.path.join(d, "positions_meta.json")
     if not os.path.exists(meta_path):
@@ -522,7 +524,6 @@ def positions_usable(d: str) -> bool:
     _check_positions for callers that should skip, not raise (compaction).
     Any malformed meta (truncated json, wrong JSON shape) counts as not
     usable — this function must NEVER raise."""
-    import json
 
     meta_path = os.path.join(d, "positions_meta.json")
     try:

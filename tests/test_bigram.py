@@ -399,6 +399,63 @@ def test_batch_phrase_bucket_mismatch_degrades(spark, bg_index, tmp_path):
         batch_phrase_topk(spark, d, batch, k=10, use_bigrams=True)
 
 
+def test_rebuild_crash_degrades_not_lies(spark, bg_index, tmp_path, monkeypatch):
+    """A crash mid-REBUILD over committed bigrams must leave the dir
+    NOT bigram-usable (the old meta is retracted before rows are touched)
+    — never the old commit marker over new partial rows, which
+    absence-is-authoritative would turn into silently wrong head-head
+    answers. Serving degrades to the positional path and stays correct."""
+    import olaf_spark.bigram as bg
+
+    rows, _ = bg_index
+    pages = spark.createDataFrame(rows[:100], "doc_id long, text string")
+    d = str(tmp_path / "rc")
+    build_positions(spark, pages, d, CFG, n_buckets=2)
+    build_bigrams(spark, pages, d, CFG, n_buckets=2, min_df=5)
+    assert bigrams_usable(d)
+    want = phrase_topk(d, "w2 w3", k=10)
+
+    def boom(out_dir, heads):
+        raise RuntimeError("simulated crash before the meta commit")
+
+    monkeypatch.setattr(bg, "_write_heads", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        build_bigrams(spark, pages, d, CFG, n_buckets=2, min_df=50)
+    monkeypatch.undo()
+    assert not bigrams_usable(d)  # marker retracted first
+    assert group_heads([d]) is None
+    assert phrase_topk(d, "w2 w3", k=10) == want  # positional fallback
+    with pytest.raises(ValueError, match="cannot serve from bigrams"):
+        phrase_topk(d, "w2 w3", k=10, use_bigrams=True)
+    # a completed rebuild restores the fast path
+    build_bigrams(spark, pages, d, CFG, n_buckets=2, min_df=5)
+    assert bigrams_usable(d)
+    assert phrase_topk(d, "w2 w3", k=10, use_bigrams=True) == want
+
+
+def test_has_bigram_rows_ignores_uncommitted_files(bg_index, tmp_path):
+    """Spark _temporary task attempts, _SUCCESS, and dot-tmp strays do not
+    count as committed pair rows (the readers skip them too)."""
+    import os
+
+    from olaf_spark.bigram import has_bigram_rows
+
+    d = str(tmp_path / "hb")
+    os.makedirs(f"{d}/bigrams/_temporary/0", exist_ok=True)
+    with open(f"{d}/bigrams/_temporary/0/part-0.parquet", "wb") as f:
+        f.write(b"x")
+    with open(f"{d}/bigrams/_SUCCESS", "wb"):
+        pass
+    with open(f"{d}/bigrams/.part-1.parquet.tmp.abc", "wb") as f:
+        f.write(b"x")
+    assert not has_bigram_rows(d)
+    os.makedirs(f"{d}/bigrams/tb=0", exist_ok=True)
+    with open(f"{d}/bigrams/tb=0/part-0.parquet", "wb") as f:
+        f.write(b"x")
+    # the root mtime changed when tb=0 was created -> cache invalidates
+    assert has_bigram_rows(d)
+
+
 def test_heads_cache_tracks_mtime(bg_index, tmp_path):
     """load_heads is cached per dir but must re-read after a rebuild (the
     sidecar's mtime is the invalidation key, like the tombstone sidecar)."""
