@@ -1100,6 +1100,53 @@ GROUP BY a.doc_id, b.doc_id
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS, not just pairs: connected components over the
+    MinHash-LSH pair graph (alternating large-star/small-star — see
+    ops/dedup.connected_components), one (doc_id, cluster_id) row per
+    document with cluster_id = min doc_id of its component (docs in no
+    pair are their own singleton cluster). This is the closure a real
+    dedup pipeline keys its keep-one-per-group decision on. Oracle: the
+    same pair CTE + a recursive reachability closure (min reachable id)."""
+    from olaf_spark.ops.dedup import connected_components, minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, n_hashes=N_MINHASH, bands=LSH_BANDS, n=3)
+    comp = connected_components(pairs)
+    return docs.select("doc_id").join(
+        comp, docs["doc_id"] == comp["node"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).cast("long").alias("cluster_id"),
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_SHINGLES}
+, sig AS (SELECT doc_id, {_sql_minhash_cols()} FROM sh GROUP BY doc_id)
+, banded AS ({_sql_band_hashes()})
+, pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+, edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+)
+, walk(node, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, w.r FROM edges e JOIN walk w ON w.node = e.v
+)
+, comp AS (SELECT node, min(r) AS component FROM walk GROUP BY node)
+SELECT d.doc_id, coalesce(c.component, d.doc_id)::BIGINT AS cluster_id
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from olaf_spark.ops.dedup import simhash_df
 
@@ -1347,6 +1394,87 @@ LIMIT 10
 
 
 # --------------------------------------------------------------------------
+# IVF ANN: learned coarse quantizer (spherical k-means), vectors hive-
+# partitioned by nearest centroid, probes prune the scan to nprobe cells.
+# Correctness gate: at nprobe = n_centroids the probe covers every cell, so
+# the answer is EXACTLY brute-force cosine top-k — the entries run in that
+# configuration and reuse the brute-force oracles verbatim; recall at
+# nprobe < n_centroids is pytest-floored (tests/test_ops.py).
+# --------------------------------------------------------------------------
+
+IVF_CENTROIDS = 8
+_IVF_CACHE: dict[tuple, str] = {}
+
+
+def _cleanup_ivf_cache() -> None:
+    import shutil
+
+    for d in _IVF_CACHE.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _IVF_CACHE.clear()
+
+
+def _get_ivf_index(spark: SparkSession, sf_dir: str, which: str) -> str:
+    """One materialized IVF index per (sf_dir, corpus slice), temp-dir
+    lifetime like _ANN_CACHE. `which` selects the corpus slice so the two
+    entries mirror their brute-force oracles' filters exactly."""
+    import atexit
+    import tempfile
+
+    from olaf_spark.ops.similarity import build_ivf_index
+
+    key = (sf_dir, which)
+    if key not in _IVF_CACHE:
+        d = tempfile.mkdtemp(prefix="entry_ivf_")
+        if not _IVF_CACHE:
+            atexit.register(_cleanup_ivf_cache)
+        emb = _read(spark, sf_dir, "embeddings")
+        corpus = (
+            emb.where(F.col("vec_id") != 0)
+            if which == "single"
+            else emb.where(F.col("vec_id") >= 3)
+        )
+        build_ivf_index(
+            spark, corpus, d, n_centroids=IVF_CENTROIDS, sample_size=20_000, seed=42
+        )
+        _IVF_CACHE[key] = d
+    return _IVF_CACHE[key]
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe over the centroid-partitioned layout, run EXACT
+    (nprobe = n_centroids — every cell probed, the scan is the full
+    corpus) so the brute-force cosine oracle applies verbatim. The
+    nprobe < n_centroids fast path (partition-pruned scan) is
+    pytest-covered: recall floor + PartitionFilters plan assertion."""
+    from olaf_spark.ops.similarity import ann_ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = list(emb.where(F.col("vec_id") == 0).collect()[0]["embedding"])
+    return ann_ivf_topk(
+        spark, _get_ivf_index(spark, sf_dir, "single"), qvec, k=K,
+        nprobe=IVF_CENTROIDS,
+    )
+
+
+def q_ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF: three queries as ONE job — broadcast (query, cell, qv)
+    probe plan, scan pruned to the union of probed cells, per-query
+    WindowGroupLimit top-k. Run exact (nprobe = all) for the oracle."""
+    from olaf_spark.ops.similarity import ann_ivf_batch_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.where(F.col("vec_id") < 3).collect()
+    ]
+    return ann_ivf_batch_topk(
+        spark, _get_ivf_index(spark, sf_dir, "batch"), queries, k=5,
+        nprobe=IVF_CENTROIDS,
+    )
+
+
+# --------------------------------------------------------------------------
 # LSH-bucketed vector ops WITH oracles: deterministic hyperplanes make the
 # whole plan SQL-expressible (bit-identical left-assoc float64 dot products
 # on both engines), so the driver checks candidates + verify end-to-end.
@@ -1527,6 +1655,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "simhash": q_simhash,
     "embedding_near_dups": q_embedding_near_dups,
     "lang_id": q_lang_id,
@@ -1536,6 +1665,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "batch_cosine_topk": q_batch_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_batch_topk": q_ann_batch_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_batch_topk": q_ann_ivf_batch_topk,
     "ann_lsh_bucket_topk": q_ann_lsh_bucket_topk,
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
     "multimodal_image_meta": q_multimodal_image_meta,
@@ -1575,6 +1706,7 @@ ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "simhash": _sql_simhash(),
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     "lang_id": None,  # filled below (function-generated)
@@ -1582,6 +1714,10 @@ ORACLE_SQL: dict[str, str] = {
     "token_count": None,
     "doc_fingerprint": None,
     "batch_cosine_topk": SQL_BATCH_COSINE_TOPK,
+    # IVF entries run at nprobe = n_centroids (every cell probed -> exact),
+    # so the brute-force cosine oracles apply verbatim
+    "ann_ivf_topk": SQL_EMBEDDING_COSINE_TOPK,
+    "ann_ivf_batch_topk": SQL_BATCH_COSINE_TOPK,
     "ann_lsh_bucket_topk": _sql_ann_lsh_bucket_topk(),
     "embedding_near_dups_lsh": _sql_embedding_near_dups_lsh(),
     "sessionize": SQL_SESSIONIZE,

@@ -243,6 +243,108 @@ SELECT doc_id, ({val})::BIGINT AS simhash FROM per_doc
 """
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """(node, component) — component = MIN node id in each connected
+    component of the undirected pair graph.
+
+    Pair emitters (exact / n-gram / MinHash-LSH / SimHash / embedding-LSH)
+    stop at EDGES; a dedup pipeline needs GROUPS — near-dup relations are
+    not transitive pairwise, so "keep one doc per component" is the
+    standard closure (the reference's dedup likewise groups per matched
+    store track before reporting, `cli/olaf_cli_cmd_dedup.zig:22-70`).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14). Each
+    half-step is one groupBy(node) shuffle + one equi-join on node —
+    no all-pairs work, no driver-side graph — and the edge set converges
+    to star graphs centered on the component minimum in O(log^2 n)
+    rounds. Label propagation would need O(diameter) rounds (a 100 TB
+    near-dup chain can be arbitrarily long); this is the scale-safe
+    choice. Every round `localCheckpoint`s the edge list to cut the
+    iterative lineage (the standard Spark iterative-algorithm move),
+    and convergence is detected with an order-independent signature
+    aggregate (count + bit_xor of xxhash64(u,v)): bit_xor cannot
+    overflow under ANSI arithmetic and never false-stops in practice;
+    a collision would need two DISTINCT edge sets of equal size with
+    equal 64-bit xor.
+
+    Nodes that appear in no pair are absent from the output (they are
+    their own singleton components — callers left-join + coalesce).
+    """
+    E = (
+        pairs.select(
+            F.col(a_col).cast("long").alias("u"),
+            F.col(b_col).cast("long").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    if E.isEmpty():
+        return E.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    nodes = E.select("u").union(E.select("v")).distinct().select(F.col("u").alias("node"))
+    nodes = nodes.localCheckpoint(eager=True)
+
+    def _sig(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("x"),
+        ).collect()[0]
+        return (row["n"], row["x"])
+
+    prev_sig = None
+    for _ in range(max_rounds):
+        # large-star: every node attaches its strictly-LARGER neighbors to
+        # the minimum of its closed neighborhood -> all edges point down
+        sym = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
+        )
+        E = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: every node attaches its smaller-or-equal neighbors
+        # AND itself to the minimum of that set (all edges already point
+        # down after large-star, so this sees every edge)
+        mins2 = (
+            E.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
+        )
+        E = (
+            E.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        E = E.localCheckpoint(eager=True)
+        sig = _sig(E)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            f"(edge signature still changing: {prev_sig} -> {_sig(E)})"
+        )
+    # converged: E is star edges (child -> component root); roots have no
+    # outgoing edge, so label = coalesce(star target, self)
+    return nodes.join(E, nodes["node"] == E["u"], "left").select(
+        "node", F.coalesce(F.col("v"), F.col("node")).alias("component")
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

@@ -653,3 +653,240 @@ def batch_cosine_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine_sim", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ------------------------------------------------------------------- IVF
+# Inverted-file (IVF) ANN: coarse spherical-k-means quantizer, vectors
+# hive-partitioned by nearest centroid, probes read only the nprobe
+# closest cells. The learned-partition sibling of the LSH layout
+# (build_ann_index): LSH cells are data-independent (stable under
+# appends, no training), IVF cells follow the data distribution (tighter
+# candidate sets per probe on clustered corpora). Same commit protocol:
+# ivf_meta.json (which embeds the centroids) is the marker, written LAST.
+
+
+def spherical_kmeans(
+    sample: np.ndarray, n_centroids: int, n_iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Deterministic spherical k-means over a driver-side sample.
+
+    Rows are L2-normalized; assignment is max dot product (== max cosine);
+    centroid update is the mean re-projected to the unit sphere. k-means++
+    init from a seeded rng; an empty cell is deterministically reseeded to
+    the sample point worst-served by its current centroid. Fixed iteration
+    count — no data-dependent stopping, so rebuilds are reproducible.
+    """
+    rng = np.random.default_rng(seed)
+    x = np.asarray(sample, dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    n = x.shape[0]
+    if n_centroids >= n:
+        raise ValueError(f"n_centroids {n_centroids} >= sample size {n}")
+    # k-means++ (cosine distance = 1 - dot on the sphere)
+    idx = [int(rng.integers(n))]
+    d2 = 1.0 - x @ x[idx[0]]
+    for _ in range(1, n_centroids):
+        p = np.maximum(d2, 0)
+        tot = p.sum()
+        if tot <= 0:
+            j = int(rng.integers(n))
+        else:
+            j = int(rng.choice(n, p=p / tot))
+        idx.append(j)
+        d2 = np.minimum(d2, 1.0 - x @ x[j])
+    c = x[idx].copy()
+    for _ in range(n_iters):
+        sims = x @ c.T  # (n, C)
+        assign = sims.argmax(axis=1)
+        for ci in range(n_centroids):
+            members = x[assign == ci]
+            if len(members) == 0:
+                # reseed to the point with the lowest best-similarity —
+                # deterministic (argmin takes the first minimum)
+                c[ci] = x[int(sims.max(axis=1).argmin())]
+                continue
+            m = members.sum(axis=0)
+            nrm = np.linalg.norm(m)
+            c[ci] = m / nrm if nrm > 0 else c[ci]
+    return c
+
+
+def ivf_cluster_col(vec_col, centroids: np.ndarray):
+    """Column: index of the max-dot-product centroid (int). Cosine argmax
+    needs no vector normalization (positive-scale invariant), and the
+    centroid rows are unit vectors already. Pure JVM fold per centroid
+    (same compact-loop codegen story as _plane_dot); ties take the FIRST
+    max index (array_position), deterministic."""
+    sims = F.array(*[_plane_dot(vec_col, c) for c in centroids])
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def build_ivf_index(
+    spark,
+    emb: DataFrame,
+    out_dir: str,
+    n_centroids: int = 16,
+    n_iters: int = 10,
+    sample_size: int = 20_000,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Materialize the corpus partitioned by nearest-centroid cell:
+    <out_dir>/vectors/cluster=<c>/... + ivf_meta.json (the commit marker,
+    embedding the centroid matrix — the query side must rank with the SAME
+    centroids, the config-freeze invariant olaf_config.h:46-50 again).
+
+    Training sample: the sample_size lowest-xxhash64(id) rows — one
+    TakeOrdered pass, bounded driver memory at any corpus size, and
+    deterministic (re-running the build yields byte-identical centroids).
+    Assignment is JVM-side (ivf_cluster_col); one partitioned write.
+    """
+    import os
+
+    from olaf_spark.metafs import get_metafs
+
+    dim = len(emb.select(vec_col).first()[0])
+    sample_rows = (
+        emb.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample_size)
+        .collect()
+    )
+    cents = spherical_kmeans(
+        np.array([r["v"] for r in sample_rows]), n_centroids, n_iters, seed
+    )
+    v = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("cluster", ivf_cluster_col(F.col("v"), cents))
+    mfs = get_metafs()
+    mfs.ensure_dir(out_dir)
+    # rebuild retraction, same as build_ann_index: no stale marker may
+    # survive over partially-rewritten vectors
+    mfs.remove_file(os.path.join(out_dir, "ivf_meta.json"))
+    v.write.mode("overwrite").partitionBy("cluster").parquet(
+        os.path.join(out_dir, "vectors")
+    )
+    mfs.publish_json(
+        os.path.join(out_dir, "ivf_meta.json"),
+        {
+            "dim": dim,
+            "n_centroids": n_centroids,
+            "seed": seed,
+            # json floats are repr round-trips — centroids reload exactly
+            "centroids": [[float(x) for x in row] for row in cents],
+        },
+    )
+    return out_dir
+
+
+def _ivf_meta(index_dir: str) -> dict:
+    import json
+    import os
+
+    path = os.path.join(index_dir, "ivf_meta.json")
+    if not os.path.exists(path):
+        raise ValueError(
+            f"{index_dir} has no committed IVF index (ivf_meta.json "
+            "missing) — build_ivf_index first"
+        )
+    with open(path) as f:
+        return json.load(f)
+
+
+def ivf_probe_clusters(
+    query_vec: list[float], centroids: np.ndarray, nprobe: int
+) -> list[int]:
+    """The nprobe cell ids nearest the query by cosine — deterministic
+    (ties broken by ascending cell id via stable argsort on -sim)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    sims = np.asarray(centroids) @ q
+    order = np.argsort(-sims, kind="stable")
+    return [int(c) for c in order[: max(1, nprobe)]]
+
+
+def ann_ivf_topk(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """(vec_id, cosine_sim) top-k from the nprobe nearest IVF cells only.
+
+    The cluster IN-list is a hive PARTITION filter — the scan reads
+    nprobe/n_centroids of the corpus, the IVF recall/latency dial. With
+    nprobe = n_centroids the scan is the whole corpus and the answer is
+    EXACTLY brute-force cosine top-k (the oracle-checked configuration);
+    recall at nprobe < n_centroids is pytest-floored against brute force.
+    """
+    import os
+
+    meta = _ivf_meta(index_dir)
+    cents = np.array(meta["centroids"], dtype=np.float64)
+    cells = ivf_probe_clusters(query_vec, cents, nprobe)
+    v = spark.read.parquet(os.path.join(index_dir, "vectors")).where(
+        F.col("cluster").isin(cells)
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    sim = _dot(F.col("v"), q) / (_norm(F.col("v")) * F.lit(qn))
+    return (
+        v.select("vec_id", F.round(sim, 6).cast("double").alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def ann_ivf_batch_topk(
+    spark,
+    index_dir: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """(query_id, vec_id, cosine_sim, rank) for B queries as ONE job.
+
+    Probe plan rides a broadcast (query_id, cluster, qv) DataFrame; the
+    scan is pruned to the UNION of all probed cells (partition filter),
+    the per-cell equi-join fans each vector out only to the queries that
+    probed its cell, and per-query top-k plans as WindowGroupLimit —
+    the IVF twin of ann_batch_topk_indexed.
+    """
+    import os
+
+    from pyspark.sql import Window
+
+    meta = _ivf_meta(index_dir)
+    cents = np.array(meta["centroids"], dtype=np.float64)
+    probe_rows = []
+    for qid, qv in queries:
+        for c in ivf_probe_clusters(qv, cents, nprobe):
+            probe_rows.append((int(qid), int(c), [float(x) for x in qv]))
+    if not probe_rows:
+        raise ValueError("ann_ivf_batch_topk: empty query batch")
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, cluster int, qv array<double>"
+    )
+    all_cells = sorted({r[1] for r in probe_rows})
+    v = spark.read.parquet(os.path.join(index_dir, "vectors")).where(
+        F.col("cluster").isin(all_cells)
+    )
+    sim = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    scored = v.join(F.broadcast(probes), "cluster").select(
+        "query_id", "vec_id", F.round(sim, 6).cast("double").alias("cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "cosine_sim", F.col("rank").cast("long").alias("rank")
+        )
+    )

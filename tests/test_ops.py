@@ -366,3 +366,137 @@ def test_multimodal_frame_sample_fanout(docs):
         by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
     for idxs in by_media.values():
         assert sorted(idxs) == list(range(len(idxs)))  # dense 0..n-1
+
+
+# ------------------------------------------------------- connected components
+
+
+def test_connected_components_basic(spark):
+    from olaf_spark.ops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21),
+         (21, 20), (4, 3)],  # duplicate + reversed edges must be harmless
+        "doc_a long, doc_b long",
+    )
+    got = sorted(
+        (r["node"], r["component"]) for r in connected_components(pairs).collect()
+    )
+    assert got == [
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    ]
+
+
+def test_connected_components_empty_and_absent_nodes(spark):
+    from olaf_spark.ops.dedup import connected_components
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(empty).count() == 0
+    # nodes appearing in no pair are ABSENT (callers coalesce to self)
+    pairs = spark.createDataFrame([(5, 6)], "doc_a long, doc_b long")
+    assert {r["node"] for r in connected_components(pairs).collect()} == {5, 6}
+
+
+def test_connected_components_long_chain_logarithmic_rounds(spark):
+    """A diameter-60 chain must converge well inside the O(log^2 n) bound —
+    label propagation would need ~60 rounds; large-star/small-star a
+    handful. max_rounds=10 is the regression tripwire."""
+    from olaf_spark.ops.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 160)], "doc_a long, doc_b long"
+    )
+    out = connected_components(chain, max_rounds=10).collect()
+    assert len(out) == 61
+    assert all(r["component"] == 100 for r in out)
+
+
+# ----------------------------------------------------------------- IVF ANN
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    """4 well-separated direction blobs (the corpus shape IVF exists for),
+    deterministic."""
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, 16)) * 5.0
+    pts = []
+    for i in range(120):
+        c = centers[i % 4]
+        pts.append(c + 0.15 * rng.standard_normal(16))
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    return df, np.array(pts)
+
+
+def test_ivf_exact_at_full_probe(spark, clustered_emb, tmp_path):
+    """nprobe = n_centroids probes every cell -> the answer must EQUAL
+    brute-force cosine top-k (the oracle-checked configuration)."""
+    from olaf_spark.ops.similarity import ann_ivf_topk, build_ivf_index
+
+    df, pts = clustered_emb
+    d = str(tmp_path / "ivf")
+    build_ivf_index(spark, df, d, n_centroids=4, sample_size=1000, seed=42)
+    q = [float(x) for x in pts[0]]
+    got = [(r["vec_id"], r["cosine_sim"])
+           for r in ann_ivf_topk(spark, d, q, k=8, nprobe=4).collect()]
+    want = [(r["vec_id"], r["cosine_sim"]) for r in cosine_topk(df, q, k=8).collect()]
+    assert got == want
+
+
+def test_ivf_recall_and_partition_pruning(spark, clustered_emb, tmp_path):
+    """nprobe=1 on blob data: the scan must read ONE hive partition
+    (PartitionFilters on cluster) and still recover the blob's top-k."""
+    from olaf_spark.ops.similarity import ann_ivf_topk, build_ivf_index
+
+    df, pts = clustered_emb
+    d = str(tmp_path / "ivf")
+    build_ivf_index(spark, df, d, n_centroids=4, sample_size=1000, seed=42)
+    q = [float(x) for x in pts[0]]
+    probe = ann_ivf_topk(spark, d, q, k=8, nprobe=1)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+    exact = {r["vec_id"] for r in cosine_topk(df, q, k=8).collect()}
+    got = {r["vec_id"] for r in probe.collect()}
+    # all of blob 0's top-k lives in one cell on well-separated blobs
+    assert len(got & exact) >= 7, (got, exact)
+
+
+def test_ivf_batch_matches_single(spark, clustered_emb, tmp_path):
+    """The one-job batch path must reproduce the per-query path exactly at
+    the same nprobe (same cells probed, same verify arithmetic)."""
+    from olaf_spark.ops.similarity import (
+        ann_ivf_batch_topk,
+        ann_ivf_topk,
+        build_ivf_index,
+    )
+
+    df, pts = clustered_emb
+    d = str(tmp_path / "ivf")
+    build_ivf_index(spark, df, d, n_centroids=4, sample_size=1000, seed=42)
+    queries = [(i, [float(x) for x in pts[i]]) for i in range(3)]
+    batch = ann_ivf_batch_topk(spark, d, queries, k=5, nprobe=2)
+    rows = batch.orderBy("query_id", "rank").collect()
+    for qid, qv in queries:
+        single = [(r["vec_id"], r["cosine_sim"])
+                  for r in ann_ivf_topk(spark, d, qv, k=5, nprobe=2).collect()]
+        got = [(r["vec_id"], r["cosine_sim"])
+               for r in rows if r["query_id"] == qid]
+        assert got == single, qid
+
+
+def test_ivf_deterministic_rebuild_and_refusal(spark, clustered_emb, tmp_path):
+    """Rebuilds are byte-identical (seeded sample + fixed-iteration
+    k-means); probing an uncommitted dir refuses loudly; the commit marker
+    is retracted before a rebuild overwrites rows."""
+    from olaf_spark.ops.similarity import _ivf_meta, ann_ivf_topk, build_ivf_index
+
+    df, pts = clustered_emb
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    build_ivf_index(spark, df, d1, n_centroids=4, sample_size=1000, seed=42)
+    build_ivf_index(spark, df, d2, n_centroids=4, sample_size=1000, seed=42)
+    assert _ivf_meta(d1)["centroids"] == _ivf_meta(d2)["centroids"]
+    with pytest.raises(ValueError, match="no committed IVF index"):
+        ann_ivf_topk(spark, str(tmp_path / "nowhere"), [0.0] * 16, k=5)
