@@ -823,15 +823,13 @@ def ann_ivf_topk(
     nprobe = n_centroids the scan is the whole corpus and the answer is
     EXACTLY brute-force cosine top-k (the oracle-checked configuration);
     recall at nprobe < n_centroids is pytest-floored against brute force.
+    Serves the LIVE group: committed deltas join the scan, tombstoned
+    vectors leave it (_ivf_vector_scan).
     """
-    import os
-
     meta = _ivf_meta(index_dir)
     cents = np.array(meta["centroids"], dtype=np.float64)
     cells = ivf_probe_clusters(query_vec, cents, nprobe)
-    v = spark.read.parquet(os.path.join(index_dir, "vectors")).where(
-        F.col("cluster").isin(cells)
-    )
+    v = _ivf_vector_scan(spark, index_dir, cells)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
     sim = _dot(F.col("v"), q) / (_norm(F.col("v")) * F.lit(qn))
@@ -855,10 +853,9 @@ def ann_ivf_batch_topk(
     scan is pruned to the UNION of all probed cells (partition filter),
     the per-cell equi-join fans each vector out only to the queries that
     probed its cell, and per-query top-k plans as WindowGroupLimit —
-    the IVF twin of ann_batch_topk_indexed.
+    the IVF twin of ann_batch_topk_indexed. Serves the live group
+    (deltas in, tombstones out) like the single-query path.
     """
-    import os
-
     from pyspark.sql import Window
 
     meta = _ivf_meta(index_dir)
@@ -873,9 +870,7 @@ def ann_ivf_batch_topk(
         probe_rows, "query_id long, cluster int, qv array<double>"
     )
     all_cells = sorted({r[1] for r in probe_rows})
-    v = spark.read.parquet(os.path.join(index_dir, "vectors")).where(
-        F.col("cluster").isin(all_cells)
-    )
+    v = _ivf_vector_scan(spark, index_dir, all_cells)
     sim = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
     scored = v.join(F.broadcast(probes), "cluster").select(
         "query_id", "vec_id", F.round(sim, 6).cast("double").alias("cosine_sim")
@@ -890,3 +885,132 @@ def ann_ivf_batch_topk(
             "query_id", "vec_id", "cosine_sim", F.col("rank").cast("long").alias("rank")
         )
     )
+
+
+def _ivf_delta_dirs(index_dir: str) -> list:
+    """Committed IVF delta dirs (commit marker: the delta's own
+    ivf_meta.json, written LAST by append_ivf_index)."""
+    import os
+
+    root = os.path.join(index_dir, "deltas")
+    if not os.path.isdir(root):
+        return []
+    return [
+        os.path.join(root, d)
+        for d in sorted(os.listdir(root))
+        if os.path.exists(os.path.join(root, d, "ivf_meta.json"))
+    ]
+
+
+def append_ivf_index(
+    spark,
+    emb: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Append new vectors to a build_ivf_index directory as a DELTA.
+
+    The base's centroids are FROZEN (config-freeze invariant,
+    olaf_config.h:46-50): cell assignment is a function of (vector,
+    centroids) only, so — exactly like the LSH layout's planes — a delta
+    needs no re-training and probe results over the live group equal a
+    full rebuild with the same centroids. (Centroids only ever RE-train
+    via a fresh build_ivf_index; that is a rebuild, not maintenance —
+    the IVF/LSH trade documented at the section header.) Same commit
+    protocol as append_ann_index: atomic delta claim, vectors
+    hive-partitioned by cluster, the delta's ivf_meta.json lands LAST.
+
+    Deletion is shared with the LSH layout: delete_vectors /
+    undelete_vectors / ann_tombstones operate on <index_dir>/
+    tombstones.json and never read either meta, so they apply to an IVF
+    dir verbatim.
+    """
+    import os
+
+    from olaf_spark.metafs import get_metafs
+
+    meta = _ivf_meta(index_dir)
+    cents = np.array(meta["centroids"], dtype=np.float64)
+    # empty-batch guard BEFORE the delta claim (same poison as the LSH
+    # twin: an empty partitionBy write is only _SUCCESS, unreadable)
+    if emb.limit(1).count() == 0:
+        raise ValueError(
+            f"refusing to append an empty vector batch to {index_dir}: "
+            "emb has no rows"
+        )
+    mfs = get_metafs()
+    root = os.path.join(index_dir, "deltas")
+    mfs.ensure_dir(root)
+    n = len(os.listdir(root))  # count ALL entries incl. in-flight claims
+    while True:
+        delta_dir = os.path.join(root, f"delta_{n:04d}")
+        if mfs.claim_dir(delta_dir):  # atomic claim (metafs contract)
+            break
+        n += 1
+    v = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("cluster", ivf_cluster_col(F.col("v"), cents))
+    v.write.mode("overwrite").partitionBy("cluster").parquet(
+        os.path.join(delta_dir, "vectors")
+    )
+    mfs.publish_json(os.path.join(delta_dir, "ivf_meta.json"), meta)
+    return delta_dir
+
+
+def _ivf_vector_scan(spark, index_dir: str, cells: list[int]) -> DataFrame:
+    """Union of the main + every committed delta's cell-pruned vector
+    scan, minus tombstones — the single live-vector source for IVF
+    probes (the _ann_vector_scan twin). Each part prunes its cluster
+    hive partitions independently."""
+    import os
+
+    scan = None
+    for d in [index_dir] + _ivf_delta_dirs(index_dir):
+        r = spark.read.parquet(os.path.join(d, "vectors")).where(
+            F.col("cluster").isin(cells)
+        )
+        scan = r if scan is None else scan.unionByName(r)
+    ts = ann_tombstones(index_dir)
+    if ts:
+        scan = scan.where(~F.col("vec_id").isin([int(x) for x in ts]))
+    return scan
+
+
+def compact_ivf_index(spark, index_dir: str, out_dir: str) -> str:
+    """Fold main + deltas (minus tombstones) into a fresh centroid-
+    partitioned IVF index. Cell assignments are already materialized and
+    centroids are frozen, so the fold is ONE filtered union scan
+    rewritten partitionBy(cluster); the meta (with centroids) is carried
+    verbatim and lands LAST as the commit marker."""
+    import os
+
+    from olaf_spark.metafs import get_metafs
+
+    meta = _ivf_meta(index_dir)
+    if os.path.exists(os.path.join(out_dir, "ivf_meta.json")):
+        raise ValueError(
+            f"{out_dir} already holds a completed IVF index; compact into "
+            "a fresh out_dir (appends since then are not foldable into it)"
+        )
+    scan = None
+    for d in [index_dir] + _ivf_delta_dirs(index_dir):
+        r = spark.read.parquet(os.path.join(d, "vectors"))
+        scan = r if scan is None else scan.unionByName(r)
+    ts = ann_tombstones(index_dir)
+    if ts:
+        scan = scan.where(~F.col("vec_id").isin([int(x) for x in ts]))
+    if scan.limit(1).count() == 0:
+        raise ValueError(
+            f"refusing to compact {index_dir}: no live vectors remain "
+            "(every vector is tombstoned or the parts are empty)"
+        )
+    mfs = get_metafs()
+    mfs.ensure_dir(out_dir)
+    mfs.remove_file(os.path.join(out_dir, "ivf_meta.json"))
+    scan.write.mode("overwrite").partitionBy("cluster").parquet(
+        os.path.join(out_dir, "vectors")
+    )
+    mfs.publish_json(os.path.join(out_dir, "ivf_meta.json"), meta)
+    return out_dir

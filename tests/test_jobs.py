@@ -126,6 +126,61 @@ def test_ann_jobs_end_to_end(spark, tmp_path):
     assert key(post) == key(live2)
 
 
+def test_ann_job_ivf_layout_end_to_end(spark, tmp_path):
+    """The same lifecycle through --layout ivf: build (learned centroids),
+    append (frozen centroids), batch query, delete (layout-agnostic
+    tombstones), compact, and the compacted answers equal the live
+    group's. Queried at --n-probes = --n-centroids (exact), so ranks are
+    deterministic across the compaction."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vecs = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(120)]
+    emb_a, emb_b = str(tmp_path / "ea"), str(tmp_path / "eb")
+    spark.createDataFrame(
+        [v for v in vecs if v[0] % 2 == 0], "vec_id long, embedding array<double>"
+    ).write.parquet(emb_a)
+    spark.createDataFrame(
+        [v for v in vecs if v[0] % 2 == 1], "vec_id long, embedding array<double>"
+    ).write.parquet(emb_b)
+    qfile = str(tmp_path / "q")
+    spark.createDataFrame(
+        [(0, vecs[0][1])], "query_id long, embedding array<double>"
+    ).write.parquet(qfile)
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    ix = str(tmp_path / "ivf")
+
+    def run(args_):
+        r = subprocess.run(
+            [sys.executable, f"{REPO}/jobs/ann_job.py"] + args_,
+            capture_output=True, text=True, env=env, timeout=600,
+        )
+        assert r.returncode == 0, (args_, r.stderr[-2000:])
+        return [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")]
+
+    b = run(["build", "--embeddings", emb_a, "--index", ix,
+             "--layout", "ivf", "--n-centroids", "4"])[0]
+    assert b["n_vectors"] == 60 and b["layout"] == "ivf"
+    run(["append", "--embeddings", emb_b, "--index", ix, "--layout", "ivf"])
+    q_args = ["query", "--index", ix, "--queries", qfile,
+              "--layout", "ivf", "--k", "5", "--n-probes", "4"]
+    live = run(q_args)
+    assert len(live) == 5
+    victim = live[0]["vec_id"]
+    run(["delete", "--index", ix, "--vec-ids", str(victim)])
+    live2 = run(q_args)
+    assert victim not in {r["vec_id"] for r in live2}
+    out = str(tmp_path / "ivf2")
+    run(["compact", "--index", ix, "--out", out, "--layout", "ivf"])
+    post = run(["query", "--index", out, "--queries", qfile,
+                "--layout", "ivf", "--k", "5", "--n-probes", "4"])
+    key = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine_sim"]) for r in rows
+    )
+    assert key(post) == key(live2)
+
+
 @pytest.mark.slow
 def test_maintenance_cycle_jobs_end_to_end(spark, tmp_path):
     """The full operator story through spark-submit entry points: build half

@@ -500,3 +500,46 @@ def test_ivf_deterministic_rebuild_and_refusal(spark, clustered_emb, tmp_path):
     assert _ivf_meta(d1)["centroids"] == _ivf_meta(d2)["centroids"]
     with pytest.raises(ValueError, match="no committed IVF index"):
         ann_ivf_topk(spark, str(tmp_path / "nowhere"), [0.0] * 16, k=5)
+
+
+def test_ivf_lifecycle_live_group_equals_rebuild(spark, clustered_emb, tmp_path):
+    """Append + tombstone + compact over the IVF layout: the live group
+    (base + committed deltas - tombstones) must answer identically to a
+    fresh index over the same live set with the same centroids — cell
+    assignment is frozen-centroid-deterministic, so no re-training drift.
+    delete_vectors/ann_tombstones are the SAME functions the LSH layout
+    uses (they only touch tombstones.json)."""
+    from olaf_spark.ops.similarity import (
+        ann_ivf_topk,
+        append_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        delete_vectors,
+    )
+
+    df, pts = clustered_emb
+    d = str(tmp_path / "live")
+    base = df.where(F.col("vec_id") < 80)
+    extra = df.where(F.col("vec_id") >= 80)
+    build_ivf_index(spark, base, d, n_centroids=4, sample_size=1000, seed=42)
+    append_ivf_index(spark, extra, d)
+    delete_vectors(d, [0, 81])
+    q = [float(x) for x in pts[2]]
+    got = [(r["vec_id"], r["cosine_sim"])
+           for r in ann_ivf_topk(spark, d, q, k=8, nprobe=4).collect()]
+    # referent: brute force over the live set
+    live = df.where(~F.col("vec_id").isin([0, 81]))
+    want = [(r["vec_id"], r["cosine_sim"]) for r in cosine_topk(live, q, k=8).collect()]
+    assert got == want
+    assert 0 not in {v for v, _ in got} and 81 not in {v for v, _ in got}
+    # compaction folds deltas + tombstones; answers unchanged
+    c = str(tmp_path / "compacted")
+    compact_ivf_index(spark, d, c)
+    got_c = [(r["vec_id"], r["cosine_sim"])
+             for r in ann_ivf_topk(spark, c, q, k=8, nprobe=4).collect()]
+    assert got_c == got
+    # refusals: empty append, compact onto a committed dir
+    with pytest.raises(ValueError, match="empty vector batch"):
+        append_ivf_index(spark, df.where(F.col("vec_id") < 0), d)
+    with pytest.raises(ValueError, match="already holds a completed IVF"):
+        compact_ivf_index(spark, d, c)
