@@ -41,6 +41,19 @@ import time
 from pyspark.sql import SparkSession
 
 
+def _written_rows(d: str) -> int:
+    """Row count of a written vectors/ layout from parquet FOOTERS only —
+    no second scan of the (possibly remote, possibly huge) source input
+    just to print a metrics line."""
+    import os
+
+    import pyarrow.dataset as ds
+
+    return ds.dataset(
+        os.path.join(d, "vectors"), format="parquet", partitioning="hive"
+    ).count_rows()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -97,7 +110,8 @@ def main() -> None:
             )
         print(json.dumps({
             "cmd": "build", "layout": args.layout, "index": args.index,
-            "n_vectors": emb.count(), "wall_s": round(time.time() - t0, 2),
+            "n_vectors": _written_rows(args.index),
+            "wall_s": round(time.time() - t0, 2),
         }))
     elif args.cmd == "append":
         emb = spark.read.parquet(args.embeddings)
@@ -105,7 +119,8 @@ def main() -> None:
         delta = fn(spark, emb, args.index)
         print(json.dumps({
             "cmd": "append", "layout": args.layout, "delta_dir": delta,
-            "n_vectors": emb.count(), "wall_s": round(time.time() - t0, 2),
+            "n_vectors": _written_rows(delta),
+            "wall_s": round(time.time() - t0, 2),
         }))
     elif args.cmd in ("delete", "undelete"):
         ids = [int(x) for x in args.vec_ids.split(",") if x.strip()]

@@ -284,6 +284,11 @@ def connected_components(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+    # checkpoint the INPUT edges first: the upstream pair emitter may be
+    # the most expensive plan in the whole closure (an LSH band self-join
+    # over the corpus), and without this it would re-execute for
+    # isEmpty, for nodes, and twice inside round 1's sym union
+    E = E.localCheckpoint(eager=True)
     if E.isEmpty():
         return E.select(F.col("u").alias("node"), F.col("v").alias("component"))
     nodes = E.select("u").union(E.select("v")).distinct().select(F.col("u").alias("node"))
@@ -296,7 +301,7 @@ def connected_components(
         ).collect()[0]
         return (row["n"], row["x"])
 
-    prev_sig = None
+    prev_sig = prev2 = None
     for _ in range(max_rounds):
         # large-star: every node attaches its strictly-LARGER neighbors to
         # the minimum of its closed neighborhood -> all edges point down
@@ -332,11 +337,11 @@ def connected_components(
         sig = _sig(E)
         if sig == prev_sig:
             break
-        prev_sig = sig
+        prev2, prev_sig = prev_sig, sig
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds "
-            f"(edge signature still changing: {prev_sig} -> {_sig(E)})"
+            f"(edge signature still changing: {prev2} -> {prev_sig})"
         )
     # converged: E is star edges (child -> component root); roots have no
     # outgoing edge, so label = coalesce(star target, self)

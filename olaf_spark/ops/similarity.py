@@ -320,8 +320,9 @@ def build_ann_index(
     mfs.ensure_dir(out_dir)
     # rebuild retraction: a crash while overwriting vectors/ must leave
     # the dir without a commit marker (probes refuse), never the OLD meta
-    # over partially-rewritten vectors
-    mfs.remove_file(os.path.join(out_dir, "ann_meta.json"))
+    # over partially-rewritten vectors — and a RE-build also voids old
+    # deltas/tombstones (stale-assignment hazard, see _retract_index_dir)
+    _retract_index_dir(out_dir)
     v.write.mode("overwrite").partitionBy("sig").parquet(
         os.path.join(out_dir, "vectors")
     )
@@ -341,9 +342,9 @@ def _ann_meta(index_dir: str) -> dict:
         return json.load(f)
 
 
-def _ann_delta_dirs(index_dir: str) -> list:
-    """Committed ANN delta dirs (commit marker: the delta's own
-    ann_meta.json, written LAST by append_ann_index)."""
+def _vec_delta_dirs(index_dir: str, marker: str) -> list:
+    """Committed vector delta dirs, either layout (commit marker: the
+    delta's own meta file — `marker` — written LAST by the append)."""
     import os
 
     root = os.path.join(index_dir, "deltas")
@@ -352,8 +353,50 @@ def _ann_delta_dirs(index_dir: str) -> list:
     return [
         os.path.join(root, d)
         for d in sorted(os.listdir(root))
-        if os.path.exists(os.path.join(root, d, "ann_meta.json"))
+        if os.path.exists(os.path.join(root, d, marker))
     ]
+
+
+def _append_vec_delta(spark, v: DataFrame, index_dir: str, marker: str, meta: dict) -> str:
+    """Shared delta-append commit protocol for both layouts: atomic delta
+    claim (two concurrent appends can never race onto one delta number),
+    partitioned write of the pre-assigned frame `v` (its LAST column is
+    the partition column), and the delta's meta file LAST as the commit
+    marker (_vec_delta_dirs filters on it)."""
+    import os
+
+    from olaf_spark.metafs import get_metafs
+
+    mfs = get_metafs()
+    root = os.path.join(index_dir, "deltas")
+    mfs.ensure_dir(root)
+    n = len(os.listdir(root))  # count ALL entries incl. in-flight claims
+    while True:
+        delta_dir = os.path.join(root, f"delta_{n:04d}")
+        if mfs.claim_dir(delta_dir):  # atomic claim (metafs contract)
+            break
+        n += 1
+    part_col = v.columns[-1]
+    v.write.mode("overwrite").partitionBy(part_col).parquet(
+        os.path.join(delta_dir, "vectors")
+    )
+    mfs.publish_json(os.path.join(delta_dir, marker), meta)
+    return delta_dir
+
+
+def _refuse_empty_batch(emb: DataFrame, index_dir: str) -> None:
+    """Empty-batch refusal BEFORE the delta claim: an empty partitionBy
+    write produces only _SUCCESS (unreadable — UNABLE_TO_INFER_SCHEMA),
+    and the commit marker would poison every later probe and compaction."""
+    if emb.limit(1).count() == 0:
+        raise ValueError(
+            f"refusing to append an empty vector batch to {index_dir}: "
+            "emb has no rows"
+        )
+
+
+def _ann_delta_dirs(index_dir: str) -> list:
+    return _vec_delta_dirs(index_dir, "ann_meta.json")
 
 
 def append_ann_index(
@@ -369,47 +412,20 @@ def append_ann_index(
     of corpus statistics, so a delta needs no stats rescaling and probe
     results over the live group are identical to a full rebuild.
 
-    Commit protocol mirrors the text index: the delta dir is CLAIMED
-    atomically via metafs.claim_dir (two concurrent appends can never race onto
-    one delta number), vectors land hive-partitioned by sig, and the
-    delta's ann_meta.json lands LAST as the commit marker (_ann_delta_dirs
-    filters on it). The base's planes are frozen (config-freeze invariant,
-    olaf_config.h:46-50) — the delta hashes with the SAME planes.
+    Commit protocol (shared _append_vec_delta): atomic delta claim,
+    vectors hive-partitioned by sig, the delta's ann_meta.json LAST as
+    the commit marker. The base's planes are frozen (config-freeze
+    invariant, olaf_config.h:46-50) — the delta hashes with the SAME
+    planes.
     """
-    import json
-    import os
-
     meta = _ann_meta(index_dir)
     planes = hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
-    # empty-batch guard BEFORE the delta claim: an empty partitionBy write
-    # produces only _SUCCESS (unreadable — UNABLE_TO_INFER_SCHEMA), and the
-    # commit marker would poison every later probe and compaction
-    if emb.limit(1).count() == 0:
-        raise ValueError(
-            f"refusing to append an empty vector batch to {index_dir}: "
-            "emb has no rows"
-        )
-    from olaf_spark.metafs import get_metafs
-
-    mfs = get_metafs()
-    root = os.path.join(index_dir, "deltas")
-    mfs.ensure_dir(root)
-    n = len(os.listdir(root))  # count ALL entries incl. in-flight claims
-    while True:
-        delta_dir = os.path.join(root, f"delta_{n:04d}")
-        if mfs.claim_dir(delta_dir):  # atomic claim (metafs contract)
-            break
-        n += 1
+    _refuse_empty_batch(emb, index_dir)
     v = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("sig", lsh_signature_col(F.col("v"), planes))
-    v.write.mode("overwrite").partitionBy("sig").parquet(
-        os.path.join(delta_dir, "vectors")
-    )
-    # the delta's commit marker — atomic publish
-    mfs.publish_json(os.path.join(delta_dir, "ann_meta.json"), meta)
-    return delta_dir
+    return _append_vec_delta(spark, v, index_dir, "ann_meta.json", meta)
 
 
 def ann_tombstones(index_dir: str) -> set[int]:
@@ -455,10 +471,14 @@ def undelete_vectors(index_dir: str, vec_ids: list) -> None:
 #: re-listing them driver-side on EVERY probe dominates small-probe
 #: latency (measured: LSH 3-probe p50 slower than brute force at 200 k
 #: vectors before this cache). Caches the DataFrame — plan + FileIndex —
-#: never the data. Invalidation: rebuilds retract + replace the dir
-#: (partition dirs created/removed directly under it), bumping the root
-#: mtime; committed parts are otherwise immutable. LRU-bounded like the
-#: bigram metadata caches.
+#: never the data. Invalidation: rebuilds replace the dir wholesale
+#: (mode("overwrite") deletes + recreates it), so the key carries the
+#: root's INODE — a recreated dir always gets a new one, immune to
+#: coarse-mtime filesystems — plus st_mtime_ns for in-place partition
+#: add/removes; committed parts are otherwise immutable (no writer
+#: replaces files INSIDE an existing partition dir — every mutation in
+#: this module goes through overwrite-the-root or a fresh delta dir).
+#: LRU-bounded like the bigram metadata caches.
 _SCAN_DF_CACHE: dict[tuple, DataFrame] = {}
 _SCAN_DF_CACHE_MAX = 256
 
@@ -468,10 +488,10 @@ def _read_vectors(spark, d: str) -> DataFrame:
 
     path = os.path.join(d, "vectors")
     try:
-        mtime = os.path.getmtime(path)
+        st = os.stat(path)
     except FileNotFoundError:
         return spark.read.parquet(path)  # surface Spark's own error
-    key = (spark.sparkContext.applicationId, path, mtime)
+    key = (spark.sparkContext.applicationId, path, st.st_ino, st.st_mtime_ns)
     hit = _SCAN_DF_CACHE.pop(key, None)
     if hit is None:
         hit = spark.read.parquet(path)
@@ -481,15 +501,48 @@ def _read_vectors(spark, d: str) -> DataFrame:
     return hit
 
 
-def _ann_vector_scan(spark, index_dir: str, sigs: list[str]) -> DataFrame:
-    """Union of the main + every committed delta's sig-pruned vector scan,
-    with the tombstone filter applied — THE single source of 'what vectors
-    are live in these buckets', shared by single-query and batch probes.
-    Each part prunes its hive sig partitions independently; tombstones ride
-    the plan as an isin literal (bounded: deletes between compactions)."""
+def _retract_index_dir(out_dir: str) -> None:
+    """REBUILD retraction: strip out_dir of every commitment from any
+    previous vector index before its rows are overwritten. Removes BOTH
+    layout markers (a dir must never present an LSH marker over cluster-
+    partitioned rows or vice versa), every delta dir (delta sig/cluster
+    assignments were made with the OLD planes/centroids — served against
+    a retrained base they silently lose recall and can duplicate
+    vectors into top-k), and the tombstone files (ids deleted from the
+    old corpus are not deletions against the new one). The lock file is
+    left alone — it self-heals via the metafs lease. Ordering: markers
+    go FIRST, so a crash mid-retraction leaves probes refusing loudly,
+    never serving a stale mix."""
+    import os
+
+    from olaf_spark.metafs import get_metafs
+
+    mfs = get_metafs()
+    for name in ("ann_meta.json", "ivf_meta.json"):
+        mfs.remove_file(os.path.join(out_dir, name))
+    deltas = os.path.join(out_dir, "deltas")
+    if os.path.isdir(deltas):
+        mfs.remove_dir(deltas, ignore_errors=True)
+    for name in ("tombstones.json", "tombstones.parquet"):
+        mfs.remove_file(os.path.join(out_dir, name))
+
+
+def _vec_live_scan(
+    spark, index_dir: str, marker: str, part_col: str, values: list | None
+) -> DataFrame:
+    """Union of the main + every committed delta's partition-pruned vector
+    scan, with the tombstone filter applied — THE single source of 'what
+    vectors are live in these cells/buckets', shared by single-query and
+    batch probes of both layouts. Each part prunes its hive partitions
+    independently (plan-level _read_vectors cache — no per-probe partition
+    re-listing); tombstones ride the plan as an isin literal (bounded:
+    deletes between compactions). values=None scans everything (the
+    compaction fold)."""
     scan = None
-    for d in [index_dir] + _ann_delta_dirs(index_dir):
-        r = _read_vectors(spark, d).where(F.col("sig").isin(sigs))
+    for d in [index_dir] + _vec_delta_dirs(index_dir, marker):
+        r = _read_vectors(spark, d)
+        if values is not None:
+            r = r.where(F.col(part_col).isin(values))
         scan = r if scan is None else scan.unionByName(r)
     ts = ann_tombstones(index_dir)
     if ts:
@@ -497,51 +550,59 @@ def _ann_vector_scan(spark, index_dir: str, sigs: list[str]) -> DataFrame:
     return scan
 
 
-def compact_ann_index(spark, index_dir: str, out_dir: str) -> str:
-    """Fold main + deltas (minus tombstones) into a fresh signature-
-    partitioned ANN index — the vector twin of incremental.compact_index,
-    and far simpler: signatures are corpus-independent, so the fold is ONE
-    filtered union scan rewritten partitionBy(sig); the frozen planes are
-    carried verbatim (config-freeze invariant). ann_meta.json lands LAST
-    as the commit marker — a killed fold leaves no loadable index."""
-    import json
+def _ann_vector_scan(spark, index_dir: str, sigs: list[str]) -> DataFrame:
+    return _vec_live_scan(spark, index_dir, "ann_meta.json", "sig", sigs)
+
+
+def _fold_vec_index(
+    spark, index_dir: str, out_dir: str, marker: str, part_col: str, meta: dict
+) -> str:
+    """Shared compaction fold for both layouts: refuse a committed
+    out_dir (either layout's marker — appends since its commit are not
+    foldable into it), fold main + deltas minus tombstones as ONE union
+    scan rewritten partitionBy(part_col), carry the frozen meta verbatim
+    (config-freeze invariant), marker LAST as the commit marker — a
+    killed fold leaves no loadable index. Refuses when no live vector
+    remains (an empty partitionBy write is only _SUCCESS — unreadable —
+    yet the marker would claim a valid index)."""
     import os
 
-    meta = _ann_meta(index_dir)
-    if os.path.exists(os.path.join(out_dir, "ann_meta.json")):
-        raise ValueError(
-            f"{out_dir} already holds a completed ANN index; compact into a "
-            "fresh out_dir (appends since then are not foldable into it)"
-        )
-    scan = None
-    for d in [index_dir] + _ann_delta_dirs(index_dir):
-        r = spark.read.parquet(os.path.join(d, "vectors"))
-        scan = r if scan is None else scan.unionByName(r)
-    ts = ann_tombstones(index_dir)
-    if ts:
-        scan = scan.where(~F.col("vec_id").isin([int(x) for x in ts]))
-    # the same empty-partitionBy-write poison append_ann_index guards
-    # against is reachable HERE when every vector is tombstoned: the write
-    # would emit only _SUCCESS yet the meta commit marker would claim a
-    # valid index — refuse instead of committing an unreadable layout
+    from olaf_spark.metafs import get_metafs
+
+    for m in ("ann_meta.json", "ivf_meta.json"):
+        if os.path.exists(os.path.join(out_dir, m)):
+            raise ValueError(
+                f"{out_dir} already holds a completed vector index ({m}); "
+                "compact into a fresh out_dir (appends since then are not "
+                "foldable into it)"
+            )
+    scan = _vec_live_scan(spark, index_dir, marker, part_col, None)
     if scan.limit(1).count() == 0:
         raise ValueError(
             f"refusing to compact {index_dir}: no live vectors remain "
             "(every vector is tombstoned or the parts are empty)"
         )
-    from olaf_spark.metafs import get_metafs
-
     mfs = get_metafs()
     mfs.ensure_dir(out_dir)
-    # rebuild retraction, same as build_ann_index: no stale marker may
-    # survive over partially-rewritten vectors
-    mfs.remove_file(os.path.join(out_dir, "ann_meta.json"))
-    scan.write.mode("overwrite").partitionBy("sig").parquet(
+    # strays from a crashed earlier attempt (markers are absent — the
+    # refusal above — but partial deltas/tombstones may not be)
+    _retract_index_dir(out_dir)
+    scan.write.mode("overwrite").partitionBy(part_col).parquet(
         os.path.join(out_dir, "vectors")
     )
     # the compacted index's commit marker — atomic publish
-    mfs.publish_json(os.path.join(out_dir, "ann_meta.json"), meta)
+    mfs.publish_json(os.path.join(out_dir, marker), meta)
     return out_dir
+
+
+def compact_ann_index(spark, index_dir: str, out_dir: str) -> str:
+    """Fold main + deltas (minus tombstones) into a fresh signature-
+    partitioned ANN index — the vector twin of incremental.compact_index,
+    and far simpler: signatures are corpus-independent, so the fold is ONE
+    filtered union scan (shared _fold_vec_index commit protocol)."""
+    return _fold_vec_index(
+        spark, index_dir, out_dir, "ann_meta.json", "sig", _ann_meta(index_dir)
+    )
 
 
 def probe_signatures(query_vec: list[float], planes: np.ndarray, n_probes: int) -> list[str]:
@@ -774,13 +835,17 @@ def build_ivf_index(
 
     from olaf_spark.metafs import get_metafs
 
-    dim = len(emb.select(vec_col).first()[0])
     sample_rows = (
         emb.select(F.col(vec_col).cast("array<double>").alias("v"))
         .orderBy(F.xxhash64(F.col(id_col)))
         .limit(sample_size)
         .collect()
     )
+    if not sample_rows:
+        raise ValueError(
+            f"refusing to build an IVF index at {out_dir}: emb has no rows"
+        )
+    dim = len(sample_rows[0]["v"])  # no separate first() job — the sample has it
     cents = spherical_kmeans(
         np.array([r["v"] for r in sample_rows]), n_centroids, n_iters, seed
     )
@@ -790,9 +855,10 @@ def build_ivf_index(
     ).withColumn("cluster", ivf_cluster_col(F.col("v"), cents))
     mfs = get_metafs()
     mfs.ensure_dir(out_dir)
-    # rebuild retraction, same as build_ann_index: no stale marker may
-    # survive over partially-rewritten vectors
-    mfs.remove_file(os.path.join(out_dir, "ivf_meta.json"))
+    # rebuild retraction, same as build_ann_index: no stale marker (of
+    # EITHER layout), delta, or tombstone may survive a re-train — old
+    # deltas were cell-assigned with the old centroids
+    _retract_index_dir(out_dir)
     v.write.mode("overwrite").partitionBy("cluster").parquet(
         os.path.join(out_dir, "vectors")
     )
@@ -916,18 +982,7 @@ def ann_ivf_batch_topk(
 
 
 def _ivf_delta_dirs(index_dir: str) -> list:
-    """Committed IVF delta dirs (commit marker: the delta's own
-    ivf_meta.json, written LAST by append_ivf_index)."""
-    import os
-
-    root = os.path.join(index_dir, "deltas")
-    if not os.path.isdir(root):
-        return []
-    return [
-        os.path.join(root, d)
-        for d in sorted(os.listdir(root))
-        if os.path.exists(os.path.join(root, d, "ivf_meta.json"))
-    ]
+    return _vec_delta_dirs(index_dir, "ivf_meta.json")
 
 
 def append_ivf_index(
@@ -945,97 +1000,38 @@ def append_ivf_index(
     needs no re-training and probe results over the live group equal a
     full rebuild with the same centroids. (Centroids only ever RE-train
     via a fresh build_ivf_index; that is a rebuild, not maintenance —
-    the IVF/LSH trade documented at the section header.) Same commit
-    protocol as append_ann_index: atomic delta claim, vectors
-    hive-partitioned by cluster, the delta's ivf_meta.json lands LAST.
+    the IVF/LSH trade documented at the section header, and the rebuild
+    voids previous deltas/tombstones via _retract_index_dir.) Same
+    commit protocol as append_ann_index (shared _append_vec_delta):
+    atomic delta claim, vectors hive-partitioned by cluster, the delta's
+    ivf_meta.json lands LAST.
 
     Deletion is shared with the LSH layout: delete_vectors /
     undelete_vectors / ann_tombstones operate on <index_dir>/
     tombstones.json and never read either meta, so they apply to an IVF
     dir verbatim.
     """
-    import os
-
-    from olaf_spark.metafs import get_metafs
-
     meta = _ivf_meta(index_dir)
     cents = np.array(meta["centroids"], dtype=np.float64)
-    # empty-batch guard BEFORE the delta claim (same poison as the LSH
-    # twin: an empty partitionBy write is only _SUCCESS, unreadable)
-    if emb.limit(1).count() == 0:
-        raise ValueError(
-            f"refusing to append an empty vector batch to {index_dir}: "
-            "emb has no rows"
-        )
-    mfs = get_metafs()
-    root = os.path.join(index_dir, "deltas")
-    mfs.ensure_dir(root)
-    n = len(os.listdir(root))  # count ALL entries incl. in-flight claims
-    while True:
-        delta_dir = os.path.join(root, f"delta_{n:04d}")
-        if mfs.claim_dir(delta_dir):  # atomic claim (metafs contract)
-            break
-        n += 1
+    _refuse_empty_batch(emb, index_dir)
     v = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("cluster", ivf_cluster_col(F.col("v"), cents))
-    v.write.mode("overwrite").partitionBy("cluster").parquet(
-        os.path.join(delta_dir, "vectors")
-    )
-    mfs.publish_json(os.path.join(delta_dir, "ivf_meta.json"), meta)
-    return delta_dir
+    return _append_vec_delta(spark, v, index_dir, "ivf_meta.json", meta)
 
 
 def _ivf_vector_scan(spark, index_dir: str, cells: list[int]) -> DataFrame:
-    """Union of the main + every committed delta's cell-pruned vector
-    scan, minus tombstones — the single live-vector source for IVF
-    probes (the _ann_vector_scan twin). Each part prunes its cluster
-    hive partitions independently; part scans come from the plan-level
-    _read_vectors cache (no per-probe partition re-listing)."""
-    scan = None
-    for d in [index_dir] + _ivf_delta_dirs(index_dir):
-        r = _read_vectors(spark, d).where(F.col("cluster").isin(cells))
-        scan = r if scan is None else scan.unionByName(r)
-    ts = ann_tombstones(index_dir)
-    if ts:
-        scan = scan.where(~F.col("vec_id").isin([int(x) for x in ts]))
-    return scan
+    return _vec_live_scan(spark, index_dir, "ivf_meta.json", "cluster", cells)
 
 
 def compact_ivf_index(spark, index_dir: str, out_dir: str) -> str:
     """Fold main + deltas (minus tombstones) into a fresh centroid-
     partitioned IVF index. Cell assignments are already materialized and
     centroids are frozen, so the fold is ONE filtered union scan
-    rewritten partitionBy(cluster); the meta (with centroids) is carried
-    verbatim and lands LAST as the commit marker."""
-    import os
-
-    from olaf_spark.metafs import get_metafs
-
-    meta = _ivf_meta(index_dir)
-    if os.path.exists(os.path.join(out_dir, "ivf_meta.json")):
-        raise ValueError(
-            f"{out_dir} already holds a completed IVF index; compact into "
-            "a fresh out_dir (appends since then are not foldable into it)"
-        )
-    scan = None
-    for d in [index_dir] + _ivf_delta_dirs(index_dir):
-        r = spark.read.parquet(os.path.join(d, "vectors"))
-        scan = r if scan is None else scan.unionByName(r)
-    ts = ann_tombstones(index_dir)
-    if ts:
-        scan = scan.where(~F.col("vec_id").isin([int(x) for x in ts]))
-    if scan.limit(1).count() == 0:
-        raise ValueError(
-            f"refusing to compact {index_dir}: no live vectors remain "
-            "(every vector is tombstoned or the parts are empty)"
-        )
-    mfs = get_metafs()
-    mfs.ensure_dir(out_dir)
-    mfs.remove_file(os.path.join(out_dir, "ivf_meta.json"))
-    scan.write.mode("overwrite").partitionBy("cluster").parquet(
-        os.path.join(out_dir, "vectors")
+    (shared _fold_vec_index commit protocol); the meta (with centroids)
+    is carried verbatim."""
+    return _fold_vec_index(
+        spark, index_dir, out_dir, "ivf_meta.json", "cluster",
+        _ivf_meta(index_dir),
     )
-    mfs.publish_json(os.path.join(out_dir, "ivf_meta.json"), meta)
-    return out_dir

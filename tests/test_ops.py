@@ -541,5 +541,55 @@ def test_ivf_lifecycle_live_group_equals_rebuild(spark, clustered_emb, tmp_path)
     # refusals: empty append, compact onto a committed dir
     with pytest.raises(ValueError, match="empty vector batch"):
         append_ivf_index(spark, df.where(F.col("vec_id") < 0), d)
-    with pytest.raises(ValueError, match="already holds a completed IVF"):
+    with pytest.raises(ValueError, match="already holds a completed vector index"):
         compact_ivf_index(spark, d, c)
+
+
+def test_rebuild_voids_deltas_tombstones_and_scan_cache(spark, clustered_emb, tmp_path):
+    """RE-building over a dir that accumulated deltas + tombstones must
+    void them (delta cell/sig assignments were made with the OLD
+    centroids/planes — served against a retrained base they silently
+    lose recall and can duplicate vectors), and the plan-level scan
+    cache must serve the NEW layout within the same session (inode+
+    mtime_ns key). Probes before AND after the rebuild pin both."""
+    from olaf_spark.ops.similarity import (
+        _ann_delta_dirs,
+        _ivf_delta_dirs,
+        ann_ivf_topk,
+        ann_tombstones,
+        ann_topk_indexed,
+        append_ann_index,
+        append_ivf_index,
+        build_ann_index,
+        build_ivf_index,
+        delete_vectors,
+    )
+
+    df, pts = clustered_emb
+    q = [float(x) for x in pts[2]]
+    base = df.where(F.col("vec_id") < 80)
+
+    d = str(tmp_path / "ivf")
+    build_ivf_index(spark, base, d, n_centroids=4, sample_size=1000, seed=42)
+    ann_ivf_topk(spark, d, q, k=8, nprobe=4).collect()  # populate scan cache
+    append_ivf_index(spark, df.where(F.col("vec_id") >= 80), d)
+    delete_vectors(d, [2])
+    assert len(_ivf_delta_dirs(d)) == 1 and ann_tombstones(d) == {2}
+    # retrain over the FULL corpus into the same dir
+    build_ivf_index(spark, df, d, n_centroids=4, sample_size=1000, seed=43)
+    assert _ivf_delta_dirs(d) == [] and ann_tombstones(d) == set()
+    got = [(r["vec_id"], r["cosine_sim"])
+           for r in ann_ivf_topk(spark, d, q, k=8, nprobe=4).collect()]
+    want = [(r["vec_id"], r["cosine_sim"]) for r in cosine_topk(df, q, k=8).collect()]
+    assert got == want  # no duplicates from stale deltas, vec 2 is back
+
+    a = str(tmp_path / "lsh")
+    build_ann_index(spark, base, a, n_planes=4, seed=42)
+    ann_topk_indexed(spark, a, q, k=8, n_probes=16).collect()  # cache
+    append_ann_index(spark, df.where(F.col("vec_id") >= 80), a)
+    delete_vectors(a, [2])
+    build_ann_index(spark, df, a, n_planes=4, seed=42)
+    assert _ann_delta_dirs(a) == [] and ann_tombstones(a) == set()
+    got = [(r["vec_id"], r["cosine_sim"])
+           for r in ann_topk_indexed(spark, a, q, k=8, n_probes=16).collect()]
+    assert got == want  # 16 probes of 4 planes = all buckets = exact
