@@ -1121,7 +1121,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DEDUP_CLUSTERS = f"""
+#: the reachability-closure CTE chain, shared by dedup_clusters and the
+#: composed curation oracle: MinHash-LSH pairs -> symmetric edges ->
+#: recursive min-reachable-id -> comp(node, component)
+_SQL_CC_CTES = f"""
 WITH RECURSIVE {_SQL_SHINGLES}
 , sig AS (SELECT doc_id, {_sql_minhash_cols()} FROM sh GROUP BY doc_id)
 , banded AS ({_sql_band_hashes()})
@@ -1142,8 +1145,55 @@ WITH RECURSIVE {_SQL_SHINGLES}
   SELECT e.u, w.r FROM edges e JOIN walk w ON w.node = e.v
 )
 , comp AS (SELECT node, min(r) AS component FROM walk GROUP BY node)
+"""
+
+SQL_DEDUP_CLUSTERS = f"""
+{_SQL_CC_CTES}
 SELECT d.doc_id, coalesce(c.component, d.doc_id)::BIGINT AS cluster_id
 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
+QUALITY_KEEP = 0.5  # curation keep threshold — mirrored in the SQL
+
+
+def q_curation_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-data curation decision the individual ops
+    feed: a doc is kept iff it is its near-dup cluster's canonical
+    representative (doc_id == cluster_id, i.e. the component minimum) AND
+    clears the quality floor. One row per doc with the evidence columns —
+    the keep-list a 100 TB pretraining pipeline materializes before
+    tokenization. Oracle: the dedup_clusters recursive CTE joined to the
+    quality CTE (both already oracle-matched individually; the composite
+    reuses the identical expressions)."""
+    from olaf_spark.ops.text import quality_score_df
+
+    clusters = q_dedup_clusters(spark, sf_dir)
+    q = quality_score_df(_docs(spark, sf_dir)).select("doc_id", "quality")
+    return clusters.join(q, "doc_id").select(
+        "doc_id",
+        "cluster_id",
+        "quality",
+        (
+            (F.col("doc_id") == F.col("cluster_id"))
+            & (F.col("quality") >= QUALITY_KEEP)
+        ).cast("long").alias("keep"),
+    )
+
+
+def _sql_curation_keep_list() -> str:
+    from olaf_spark.ops.text import quality_score_sql
+
+    return f"""
+{_SQL_CC_CTES}
+, clusters AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id)::BIGINT AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)
+, q AS (SELECT doc_id, quality FROM ({quality_score_sql()}))
+SELECT c.doc_id, c.cluster_id, q.quality,
+       ((c.doc_id = c.cluster_id) AND (q.quality >= {QUALITY_KEEP}))::BIGINT AS keep
+FROM clusters c JOIN q ON q.doc_id = c.doc_id
 """
 
 
@@ -1656,6 +1706,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "curation_keep_list": q_curation_keep_list,
     "simhash": q_simhash,
     "embedding_near_dups": q_embedding_near_dups,
     "lang_id": q_lang_id,
@@ -1707,6 +1758,7 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "curation_keep_list": _sql_curation_keep_list(),
     "simhash": _sql_simhash(),
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     "lang_id": None,  # filled below (function-generated)

@@ -357,12 +357,21 @@ def _vec_delta_dirs(index_dir: str, marker: str) -> list:
     ]
 
 
-def _append_vec_delta(spark, v: DataFrame, index_dir: str, marker: str, meta: dict) -> str:
+def _append_vec_delta(
+    spark, v: DataFrame, index_dir: str, marker: str, meta: dict,
+    delta_name: str | None = None,
+) -> str:
     """Shared delta-append commit protocol for both layouts: atomic delta
     claim (two concurrent appends can never race onto one delta number),
     partitioned write of the pre-assigned frame `v` (its LAST column is
     the partition column), and the delta's meta file LAST as the commit
-    marker (_vec_delta_dirs filters on it)."""
+    marker (_vec_delta_dirs filters on it).
+
+    delta_name pins the delta's directory name instead of taking the next
+    number — the streaming-sink idempotency hook (foreachBatch is
+    at-least-once): a REPLAYED epoch finds its own already-committed
+    delta and no-ops instead of appending the same vectors twice; a
+    crashed uncommitted attempt is resumed (overwrite + marker)."""
     import os
 
     from olaf_spark.metafs import get_metafs
@@ -370,12 +379,18 @@ def _append_vec_delta(spark, v: DataFrame, index_dir: str, marker: str, meta: di
     mfs = get_metafs()
     root = os.path.join(index_dir, "deltas")
     mfs.ensure_dir(root)
-    n = len(os.listdir(root))  # count ALL entries incl. in-flight claims
-    while True:
-        delta_dir = os.path.join(root, f"delta_{n:04d}")
-        if mfs.claim_dir(delta_dir):  # atomic claim (metafs contract)
-            break
-        n += 1
+    if delta_name is not None:
+        delta_dir = os.path.join(root, delta_name)
+        if os.path.exists(os.path.join(delta_dir, marker)):
+            return delta_dir  # replayed, already committed: no-op
+        mfs.claim_dir(delta_dir)  # False = crashed prior attempt -> resume
+    else:
+        n = len(os.listdir(root))  # count ALL entries incl. in-flight claims
+        while True:
+            delta_dir = os.path.join(root, f"delta_{n:04d}")
+            if mfs.claim_dir(delta_dir):  # atomic claim (metafs contract)
+                break
+            n += 1
     part_col = v.columns[-1]
     v.write.mode("overwrite").partitionBy(part_col).parquet(
         os.path.join(delta_dir, "vectors")
@@ -405,6 +420,7 @@ def append_ann_index(
     index_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    delta_name: str | None = None,
 ) -> str:
     """Append new vectors to a build_ann_index directory as a DELTA — the
     vector twin of incremental.append_index, and strictly easier: LSH
@@ -425,7 +441,9 @@ def append_ann_index(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("sig", lsh_signature_col(F.col("v"), planes))
-    return _append_vec_delta(spark, v, index_dir, "ann_meta.json", meta)
+    return _append_vec_delta(
+        spark, v, index_dir, "ann_meta.json", meta, delta_name=delta_name
+    )
 
 
 def ann_tombstones(index_dir: str) -> set[int]:
@@ -991,6 +1009,7 @@ def append_ivf_index(
     index_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    delta_name: str | None = None,
 ) -> str:
     """Append new vectors to a build_ivf_index directory as a DELTA.
 
@@ -1018,7 +1037,9 @@ def append_ivf_index(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("cluster", ivf_cluster_col(F.col("v"), cents))
-    return _append_vec_delta(spark, v, index_dir, "ivf_meta.json", meta)
+    return _append_vec_delta(
+        spark, v, index_dir, "ivf_meta.json", meta, delta_name=delta_name
+    )
 
 
 def _ivf_vector_scan(spark, index_dir: str, cells: list[int]) -> DataFrame:

@@ -162,6 +162,39 @@ def stream_index_appends(
     return handle
 
 
+def stream_vector_appends(
+    spark: SparkSession,
+    index_dir: str,
+    layout: str = "lsh",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """foreachBatch handler: each micro-batch of vectors appends to a
+    committed LSH or IVF layout as a delta — the vector twin of
+    stream_index_appends, and strictly easier: sig/cell assignment is a
+    function of (vector, frozen planes/centroids) only, so no stats
+    rescaling. Probes over the live group see every completed batch
+    (_vec_live_scan). Idempotent under foreachBatch's at-least-once
+    replay: the delta name is derived from epoch_id, so a replayed batch
+    finds its own committed delta and no-ops (delta_name contract in
+    _append_vec_delta)."""
+    from olaf_spark.ops.similarity import append_ann_index, append_ivf_index
+
+    fn = append_ivf_index if layout == "ivf" else append_ann_index
+    if layout not in ("lsh", "ivf"):
+        raise ValueError(f"unknown vector layout {layout!r} (lsh | ivf)")
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fn(
+            spark, batch_df, index_dir, id_col=id_col, vec_col=vec_col,
+            delta_name=f"delta_epoch_{int(epoch_id):010d}",
+        )
+
+    return handle
+
+
 def stream_bm25_queries(
     spark: SparkSession,
     query_stream: DataFrame,

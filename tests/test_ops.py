@@ -593,3 +593,57 @@ def test_rebuild_voids_deltas_tombstones_and_scan_cache(spark, clustered_emb, tm
     got = [(r["vec_id"], r["cosine_sim"])
            for r in ann_topk_indexed(spark, a, q, k=8, n_probes=16).collect()]
     assert got == want  # 16 probes of 4 planes = all buckets = exact
+
+
+def test_stream_vector_appends_live_and_replay_idempotent(spark, clustered_emb, tmp_path):
+    """Structured Streaming vector ingestion: micro-batches append deltas
+    via foreachBatch (streaming.stream_vector_appends); probes over the
+    live group then equal brute force over everything ingested, and an
+    at-least-once epoch REPLAY (same delta name) is a no-op, not a
+    duplicate."""
+    from olaf_spark.ops.similarity import (
+        _ivf_delta_dirs,
+        ann_ivf_topk,
+        append_ivf_index,
+        build_ivf_index,
+    )
+    from olaf_spark.streaming import stream_vector_appends
+
+    df, pts = clustered_emb
+    d = str(tmp_path / "ivf_stream")
+    build_ivf_index(
+        spark, df.where(F.col("vec_id") < 60), d, n_centroids=4,
+        sample_size=1000, seed=42,
+    )
+    src = str(tmp_path / "incoming")
+    df.where("vec_id >= 60 and vec_id % 2 = 0").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    df.where("vec_id >= 60 and vec_id % 2 = 1").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(stream_vector_appends(spark, d, layout="ivf"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(_ivf_delta_dirs(d)) == 2  # one committed delta per micro-batch
+    qv = [float(x) for x in pts[1]]
+    got = [(r["vec_id"], r["cosine_sim"])
+           for r in ann_ivf_topk(spark, d, qv, k=8, nprobe=4).collect()]
+    want = [(r["vec_id"], r["cosine_sim"]) for r in cosine_topk(df, qv, k=8).collect()]
+    assert got == want
+    # replayed epoch: same delta name, same vectors -> no second delta
+    epoch0 = _ivf_delta_dirs(d)[0].rsplit("/", 1)[1]
+    append_ivf_index(spark, df.where("vec_id >= 60 and vec_id % 2 = 0"), d,
+                     delta_name=epoch0)
+    assert len(_ivf_delta_dirs(d)) == 2
+    assert [(r["vec_id"], r["cosine_sim"])
+            for r in ann_ivf_topk(spark, d, qv, k=8, nprobe=4).collect()] == want
