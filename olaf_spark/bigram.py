@@ -143,27 +143,29 @@ def _write_heads(out_dir: str, heads: np.ndarray) -> None:
     mfs.commit_file(tmp, final)
 
 
-#: per-dir head-array cache keyed by sidecar mtime — serving checks pair
-#: authoritativeness on every phrase query and must not re-read parquet.
-#: LRU-bounded like phrase._TS_ARR_CACHE (long-lived drivers touching many
-#: index dirs must not accumulate dead arrays)
-_HEADS_CACHE: dict[str, tuple[float, np.ndarray]] = {}
+#: per-dir head-array cache keyed by the sidecar's (inode, mtime_ns)
+#: signature — serving checks pair authoritativeness on every phrase
+#: query and must not re-read parquet. LRU mechanics + the
+#: coarse-mtime-staleness rationale live in olaf_spark.lru.
+_HEADS_CACHE: dict[str, tuple] = {}
 _HEADS_CACHE_MAX = 256
 
 
 def load_heads(d: str) -> np.ndarray:
-    """Sorted head term_id array for an index part (cached by mtime)."""
+    """Sorted head term_id array for an index part (sig-keyed cache)."""
     import pyarrow.parquet as pq
 
+    from olaf_spark.lru import file_sig, lru_get
+
     path = os.path.join(d, "bigram_heads.parquet")
-    mtime = os.path.getmtime(path)
-    hit = _HEADS_CACHE.pop(d, None)
-    if hit is None or hit[0] != mtime:
-        hit = (mtime, pq.read_table(path)["term_id"].to_numpy().astype(np.int64))
-    _HEADS_CACHE[d] = hit
-    while len(_HEADS_CACHE) > _HEADS_CACHE_MAX:
-        _HEADS_CACHE.pop(next(iter(_HEADS_CACHE)))
-    return hit[1]
+    sig = file_sig(path)
+    if sig is None:
+        raise FileNotFoundError(path)
+    return lru_get(
+        _HEADS_CACHE, d, sig,
+        lambda: pq.read_table(path)["term_id"].to_numpy().astype(np.int64),
+        _HEADS_CACHE_MAX,
+    )
 
 
 def build_bigrams(
@@ -194,14 +196,9 @@ def build_bigrams(
     mfs = get_metafs()
     if os.path.exists(os.path.join(out_dir, "engine_config.json")):
         EngineConfig.load(out_dir).check_compatible(cfg)
-    # REBUILD over committed bigrams: retract the commit marker (and the
-    # stale rows) FIRST — a crash mid-rebuild must leave bigrams_usable()
-    # False (serving degrades to the positional path), never a committed
-    # meta over partial pair rows, which absence-is-authoritative would
-    # turn into silently wrong head-head answers
-    mfs.remove_file(os.path.join(out_dir, "bigram_meta.json"))
-    if os.path.isdir(os.path.join(out_dir, "bigrams")):
-        mfs.remove_dir(os.path.join(out_dir, "bigrams"), ignore_errors=True)
+    # validate the input BEFORE any destructive step: a refused call
+    # (empty docs) must be a true no-op, never one that leaves a working
+    # committed bigram index destroyed
     bounds = docs.agg(
         F.min(F.col(id_col)).alias("lo"),
         F.max(F.col(id_col)).alias("hi"),
@@ -209,6 +206,15 @@ def build_bigrams(
     ).collect()[0]
     if bounds["n"] == 0:
         raise ValueError(f"refusing to build bigrams at {out_dir}: docs has no rows")
+    # REBUILD over committed bigrams: retract the commit marker (and the
+    # stale rows) before any row lands — a crash mid-rebuild must leave
+    # bigrams_usable() False (serving degrades to the positional path),
+    # never a committed meta over partial pair rows, which
+    # absence-is-authoritative would turn into silently wrong head-head
+    # answers
+    mfs.remove_file(os.path.join(out_dir, "bigram_meta.json"))
+    if os.path.isdir(os.path.join(out_dir, "bigrams")):
+        mfs.remove_dir(os.path.join(out_dir, "bigrams"), ignore_errors=True)
     lo, hi = int(bounds["lo"]), int(bounds["hi"])
     width = max(1, (hi - lo) // n_buckets + 1)
 
@@ -277,26 +283,22 @@ def build_bigrams(
     return out_dir
 
 
-#: per-dir meta cache keyed by bigram_meta.json mtime — the serving gate
-#: (group_heads -> _read_meta) runs on EVERY phrase query; without this a
-#: long-lived driver pays one json open+parse per part per query (an NFS
-#: round trip each in the documented deployment). LRU-bounded like
-#: _HEADS_CACHE.
-_META_CACHE: dict[str, tuple[float | None, dict | None]] = {}
+#: per-dir meta cache keyed by bigram_meta.json's (inode, mtime_ns) sig —
+#: the serving gate (group_heads -> _read_meta) runs on EVERY phrase
+#: query; without this a long-lived driver pays one json open+parse per
+#: part per query (an NFS round trip each in the documented deployment).
+_META_CACHE: dict[str, tuple] = {}
 
 
 def _read_meta(d: str) -> dict | None:
+    from olaf_spark.lru import file_sig, lru_get
+
     path = os.path.join(d, "bigram_meta.json")
-    try:
-        mtime = os.path.getmtime(path)
-    except FileNotFoundError:
-        mtime = None
-    hit = _META_CACHE.pop(d, None)
-    if hit is not None and hit[0] == mtime:
-        _META_CACHE[d] = hit
-        return hit[1]
-    meta_out: dict | None = None
-    if mtime is not None:
+    sig = file_sig(path)
+
+    def load() -> dict | None:
+        if sig is None:
+            return None
         try:
             with open(path) as f:
                 meta = json.load(f)
@@ -305,13 +307,12 @@ def _read_meta(d: str) -> dict | None:
                 and meta.get("format_version") == BIGRAM_FORMAT_VERSION
                 and isinstance(meta.get("heads_fingerprint"), str)
             ):
-                meta_out = meta
+                return meta
         except (FileNotFoundError, json.JSONDecodeError):
-            meta_out = None
-    _META_CACHE[d] = (mtime, meta_out)
-    while len(_META_CACHE) > _HEADS_CACHE_MAX:
-        _META_CACHE.pop(next(iter(_META_CACHE)))
-    return meta_out
+            pass
+        return None
+
+    return lru_get(_META_CACHE, d, sig, load, _HEADS_CACHE_MAX)
 
 
 def bigrams_usable(d: str) -> bool:
@@ -325,11 +326,12 @@ def bigrams_usable(d: str) -> bool:
     )
 
 
-#: per-dir row-presence cache keyed by the bigrams/ root mtime — every
-#: committed (re)build creates/removes tb= partition dirs directly under
-#: the root, bumping its mtime, so the key invalidates on rebuild. Saves
-#: an os.walk per part per pair-unit query.
-_ROWS_CACHE: dict[str, tuple[float, bool]] = {}
+#: per-dir row-presence cache keyed by the bigrams/ root dir's
+#: (inode, mtime_ns) sig — every committed (re)build removes + recreates
+#: the root (new inode) or creates/removes tb= partition dirs directly
+#: under it (new mtime), so the key invalidates on rebuild. Saves an
+#: os.walk per part per pair-unit query.
+_ROWS_CACHE: dict[str, tuple] = {}
 
 
 def has_bigram_rows(d: str) -> bool:
@@ -340,28 +342,24 @@ def has_bigram_rows(d: str) -> bool:
     materializes only _SUCCESS — unreadable by spark.read.parquet AND
     schemaless for pyarrow dataset filters — so every reader must branch
     on this instead of opening the directory blind."""
+    from olaf_spark.lru import file_sig, lru_get
+
     root = os.path.join(d, "bigrams")
-    try:
-        mtime = os.path.getmtime(root)
-    except FileNotFoundError:
+    sig = file_sig(root)
+    if sig is None:
         return False
-    hit = _ROWS_CACHE.pop(d, None)
-    if hit is not None and hit[0] == mtime:
-        _ROWS_CACHE[d] = hit
-        return hit[1]
-    found = False
-    for cur, dirs, files in os.walk(root):
-        dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
-        if any(
-            f.endswith(".parquet") and not f.startswith(("_", "."))
-            for f in files
-        ):
-            found = True
-            break
-    _ROWS_CACHE[d] = (mtime, found)
-    while len(_ROWS_CACHE) > _HEADS_CACHE_MAX:
-        _ROWS_CACHE.pop(next(iter(_ROWS_CACHE)))
-    return found
+
+    def load() -> bool:
+        for _cur, dirs, files in os.walk(root):
+            dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
+            if any(
+                f.endswith(".parquet") and not f.startswith(("_", "."))
+                for f in files
+            ):
+                return True
+        return False
+
+    return lru_get(_ROWS_CACHE, d, sig, load, _HEADS_CACHE_MAX)
 
 
 def group_heads(part_dirs: list[str]) -> np.ndarray | None:
@@ -414,8 +412,16 @@ def compact_bigrams(
     from olaf_spark.metafs import get_metafs
 
     # same rebuild-retraction as build_bigrams: if out_dir already carries
-    # committed bigrams, kill the marker before touching rows
+    # committed bigrams, kill the marker AND the stale rows before the
+    # fold — the all-rowless-parts case below skips the bigrams/ write
+    # entirely, and a fresh meta over leftover rows from some earlier
+    # index would serve them as authoritative (silently wrong head-head
+    # answers)
     get_metafs().remove_file(os.path.join(out_dir, "bigram_meta.json"))
+    if os.path.isdir(os.path.join(out_dir, "bigrams")):
+        get_metafs().remove_dir(
+            os.path.join(out_dir, "bigrams"), ignore_errors=True
+        )
     lo = min(m["lo"] for m in metas)
     hi = max(m["hi"] for m in metas)
     n_buckets = max(m["n_buckets"] for m in metas)

@@ -504,19 +504,19 @@ _SCAN_DF_CACHE_MAX = 256
 def _read_vectors(spark, d: str) -> DataFrame:
     import os
 
+    from olaf_spark.lru import file_sig, lru_get
+
     path = os.path.join(d, "vectors")
-    try:
-        st = os.stat(path)
-    except FileNotFoundError:
+    sig = file_sig(path)
+    if sig is None:
         return spark.read.parquet(path)  # surface Spark's own error
-    key = (spark.sparkContext.applicationId, path, st.st_ino, st.st_mtime_ns)
-    hit = _SCAN_DF_CACHE.pop(key, None)
-    if hit is None:
-        hit = spark.read.parquet(path)
-    _SCAN_DF_CACHE[key] = hit
-    while len(_SCAN_DF_CACHE) > _SCAN_DF_CACHE_MAX:
-        _SCAN_DF_CACHE.pop(next(iter(_SCAN_DF_CACHE)))
-    return hit
+    return lru_get(
+        _SCAN_DF_CACHE,
+        (spark.sparkContext.applicationId, path),
+        sig,
+        lambda: spark.read.parquet(path),
+        _SCAN_DF_CACHE_MAX,
+    )
 
 
 def _retract_index_dir(out_dir: str) -> None:

@@ -180,16 +180,24 @@ def build_positions(
     # the main postings under a different contract on the next load
     if os.path.exists(os.path.join(out_dir, "engine_config.json")):
         EngineConfig.load(out_dir).check_compatible(cfg)
-    # REBUILD over committed positions: retract the commit marker FIRST —
-    # a crash mid-rebuild must leave _check_positions refusing loudly,
-    # never the old meta over partially-overwritten rows (which would
-    # serve silently wrong phrase answers)
-    from olaf_spark.metafs import get_metafs
-
-    get_metafs().remove_file(os.path.join(out_dir, "positions_meta.json"))
+    # validate BEFORE any destructive step: a refused call (empty docs)
+    # must be a true no-op — retract-then-validate would destroy a working
+    # committed positional index on a mis-filtered rebuild input and
+    # leave every phrase query on the group raising until a real rebuild
     bounds = docs.agg(
         F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
     ).collect()[0]
+    if bounds["lo"] is None:
+        raise ValueError(
+            f"refusing to build positions at {out_dir}: docs has no rows"
+        )
+    # REBUILD over committed positions: retract the commit marker before
+    # any row lands — a crash mid-rebuild must leave _check_positions
+    # refusing loudly, never the old meta over partially-overwritten rows
+    # (which would serve silently wrong phrase answers)
+    from olaf_spark.metafs import get_metafs
+
+    get_metafs().remove_file(os.path.join(out_dir, "positions_meta.json"))
     lo, hi = int(bounds["lo"]), int(bounds["hi"])
     width = max(1, (hi - lo) // n_buckets + 1)
 
@@ -550,26 +558,24 @@ _TS_ARR_CACHE_MAX = 256
 def _union_tombstones_arr(part_dirs: list[str]):
     """Sorted union of every part's tombstone array (None when no deletes)
     — reads the parquet sidecar via indexer.read_tombstones_arr (no JSON
-    parse of a large delete set per query) and caches per dir by mtime."""
+    parse of a large delete set per query) and caches per dir keyed by
+    both tombstone files' (inode, mtime_ns) sigs (olaf_spark.lru — every
+    mutate commits via tmp + rename, so the inode always changes)."""
     from olaf_spark.indexer import read_tombstones_arr
+    from olaf_spark.lru import file_sig, lru_get
 
     arrs = []
     for d in part_dirs:
-        sig = []
-        for name in ("tombstones.json", "tombstones.parquet"):
-            try:
-                sig.append(os.path.getmtime(os.path.join(d, name)))
-            except FileNotFoundError:
-                sig.append(None)
-        sig = tuple(sig)
-        hit = _TS_ARR_CACHE.pop(d, None)
-        if hit is None or hit[0] != sig:
-            hit = (sig, read_tombstones_arr(d))
-        _TS_ARR_CACHE[d] = hit
-        while len(_TS_ARR_CACHE) > _TS_ARR_CACHE_MAX:
-            _TS_ARR_CACHE.pop(next(iter(_TS_ARR_CACHE)))
-        if hit[1].size:
-            arrs.append(hit[1])
+        sig = tuple(
+            file_sig(os.path.join(d, name))
+            for name in ("tombstones.json", "tombstones.parquet")
+        )
+        arr = lru_get(
+            _TS_ARR_CACHE, d, sig, lambda: read_tombstones_arr(d),
+            _TS_ARR_CACHE_MAX,
+        )
+        if arr.size:
+            arrs.append(arr)
     if not arrs:
         return None
     out = arrs[0]

@@ -195,6 +195,25 @@ def stream_vector_appends(
     return handle
 
 
+def _dedup_query_rows(rows, text_key: str) -> list[tuple]:
+    """Collapse duplicate query_ids in a collected micro-batch
+    deterministically (max text wins — collect order is not
+    deterministic), sorted by query_id.
+
+    At-least-once upstreams replay queries; the distributed batch scorers
+    REFUSE duplicate query_ids (an ambiguous fold), so without this a
+    replayed row inside a fat micro-batch would fail the epoch and kill
+    the StreamingQuery, while the per-row path happily served it twice.
+    Deduping in BOTH paths keeps them result-identical: one result set
+    per distinct query_id either way."""
+    best: dict = {}
+    for row in rows:
+        qid, t = row["query_id"], row[text_key]
+        if qid not in best or t > best[qid]:
+            best[qid] = t
+    return sorted(best.items())
+
+
 def stream_bm25_queries(
     spark: SparkSession,
     query_stream: DataFrame,
@@ -237,11 +256,10 @@ def stream_bm25_queries(
             state["group"] = IndexGroup.load(index.index_dir)
             state["sig"] = deltas
         group = state["group"] if deltas else None
-        rows = batch_df.collect()
-        if len(rows) >= batch_threshold:
+        queries = _dedup_query_rows(batch_df.collect(), "query_text")
+        if len(queries) >= batch_threshold:
             from olaf_spark.batch import batch_query_index, batch_query_index_group
 
-            queries = [(row["query_id"], row["query_text"]) for row in rows]
             if group is not None:
                 out = batch_query_index_group(spark, group, queries, k=k)
             else:
@@ -251,13 +269,13 @@ def stream_bm25_queries(
             ):
                 results.append((r["query_id"], r["rank"], r["doc_id"], r["score"]))
             return
-        for row in rows:
+        for qid, text in queries:
             if group is not None:
-                hits = group.topk(row["query_text"], k=k)
+                hits = group.topk(text, k=k)
             else:
-                hits = query_index(spark, index, row["query_text"], k=k)
+                hits = query_index(spark, index, text, k=k)
             for rank, (doc_id, score) in enumerate(hits, start=1):
-                results.append((row["query_id"], rank, doc_id, score))
+                results.append((qid, rank, doc_id, score))
 
     return results, handle
 
@@ -292,9 +310,8 @@ def stream_phrase_queries(
     results: list[tuple] = []
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        rows = batch_df.collect()
-        if len(rows) >= batch_threshold:
-            queries = [(row["query_id"], row["query_text"]) for row in rows]
+        queries = _dedup_query_rows(batch_df.collect(), "query_text")
+        if len(queries) >= batch_threshold:
             out = batch_phrase_topk(spark, index_dir, queries, k=k, min_tf=min_tf)
             for r in sorted(
                 out.collect(), key=lambda r: (r["query_id"], r["rank"])
@@ -303,9 +320,9 @@ def stream_phrase_queries(
                     (r["query_id"], r["rank"], r["doc_id"], r["phrase_tf"])
                 )
             return
-        for row in rows:
-            hits = phrase_topk(index_dir, row["query_text"], k=k, min_tf=min_tf)
+        for qid, text in queries:
+            hits = phrase_topk(index_dir, text, k=k, min_tf=min_tf)
             for rank, (doc_id, tf) in enumerate(hits, start=1):
-                results.append((row["query_id"], rank, doc_id, tf))
+                results.append((qid, rank, doc_id, tf))
 
     return results, handle

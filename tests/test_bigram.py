@@ -479,3 +479,51 @@ def test_heads_cache_tracks_mtime(bg_index, tmp_path):
     )
     os.utime(f"{d2}/bigram_heads.parquet", (1, 1))  # force distinct mtime
     assert np.array_equal(load_heads(d2), np.asarray([1, 2, 3]))
+
+
+def test_empty_rebuild_refusal_is_a_true_noop(spark, bg_index, tmp_path):
+    """A refused rebuild (empty docs DataFrame — a mis-filtered source)
+    must leave the committed positional AND bigram indexes fully intact:
+    validation runs BEFORE the commit-marker retraction, so the refusal
+    mutates nothing. (Retract-then-validate would brick phrase serving on
+    the group until a real rebuild.)"""
+    rows, _ = bg_index
+    pages = spark.createDataFrame(rows[:100], "doc_id long, text string")
+    d = str(tmp_path / "noop")
+    build_positions(spark, pages, d, CFG, n_buckets=2)
+    build_bigrams(spark, pages, d, CFG, n_buckets=2, min_df=5)
+    want = phrase_topk(d, "w2 w3", k=10, use_bigrams=True)
+    empty = pages.where("doc_id < 0")
+    with pytest.raises(ValueError, match="docs has no rows"):
+        build_positions(spark, empty, d, CFG, n_buckets=2)
+    with pytest.raises(ValueError, match="docs has no rows"):
+        build_bigrams(spark, empty, d, CFG, n_buckets=2, min_df=5)
+    assert bigrams_usable(d)  # marker untouched
+    assert phrase_topk(d, "w2 w3", k=10, use_bigrams=True) == want
+
+
+def test_compact_bigrams_clears_stale_out_dir_rows(spark, bg_index, tmp_path):
+    """Folding all-rowless parts into an out_dir that previously held a
+    committed bigram index with ROWS must not leave those stale rows
+    committed under the fresh marker (absence-is-authoritative would
+    serve them as answers for a different corpus)."""
+    from olaf_spark.bigram import compact_bigrams, has_bigram_rows
+
+    rows, _ = bg_index
+    pages = spark.createDataFrame(rows[:100], "doc_id long, text string")
+    # source part: committed bigrams but ROWLESS (min_df higher than any df)
+    src = str(tmp_path / "src")
+    build_positions(spark, pages, src, CFG, n_buckets=2)
+    build_bigrams(spark, pages, src, CFG, n_buckets=2, min_df=10_000)
+    assert bigrams_usable(src) and not has_bigram_rows(src)
+    # out_dir: previously committed bigram index WITH rows (different corpus)
+    out = str(tmp_path / "out")
+    build_positions(spark, pages, out, CFG, n_buckets=2)
+    build_bigrams(spark, pages, out, CFG, n_buckets=2, min_df=5)
+    assert has_bigram_rows(out)
+    compact_bigrams(spark, [src], out, set(), CFG)
+    assert bigrams_usable(out)
+    assert not has_bigram_rows(out)  # stale rows cleared, authoritative empty
+    # and serving answers from the (authoritatively empty) pair set match
+    # the positional referent: head set is src's, which indexes no pair
+    assert group_heads([out]) is not None and group_heads([out]).size == 0

@@ -269,3 +269,48 @@ def test_foreachbatch_bm25_serving(spark, tmp_path):
         by_q.setdefault(qid, []).append((rank, doc_id))
     assert by_q[1][0] == (1, 0)  # needle0 -> doc 0
     assert len(by_q[2]) == 3
+
+
+def test_duplicate_query_ids_tolerated_both_paths(spark, tmp_path):
+    """At-least-once upstreams replay query rows. The distributed batch
+    scorer refuses duplicate query_ids, so the fat path must dedup before
+    routing — and the per-row path must dedup THE SAME WAY, or the two
+    paths stop being result-identical at the threshold boundary. One
+    result set per distinct query_id either way; no failed epoch."""
+    from olaf_spark.config import EngineConfig
+    from olaf_spark.indexer import build_index
+    from olaf_spark.streaming import stream_bm25_queries
+    from olaf_spark.synth import gen_pages
+
+    pages = gen_pages(spark, 120, seed=42).select("doc_id", "text")
+    index = build_index(spark, pages, str(tmp_path / "ix"), EngineConfig(), n_buckets=4)
+
+    B = 64
+    # every query_id appears TWICE with the same text (a pure replay)
+    qrows = [(i % (B // 2), f"w2 w17 w{i % 20}") for i in range(B)]
+    qdir = str(tmp_path / "queries")
+    spark.createDataFrame(qrows, "query_id long, query_text string").coalesce(
+        1
+    ).write.parquet(qdir)
+    batch_df = spark.read.parquet(qdir)
+
+    stream = spark.readStream.schema("query_id long, query_text string").parquet(qdir)
+    fat_results, fat_handle = stream_bm25_queries(
+        spark, stream, index, k=5, batch_threshold=B // 2
+    )
+    fat_handle(batch_df, 0)  # would raise 'duplicate query_id' unfixed
+    slow_results, slow_handle = stream_bm25_queries(
+        spark, stream, index, k=5, batch_threshold=B + 1
+    )
+    slow_handle(batch_df, 0)
+    # round like test_fat_microbatch: the distributed fold's pairwise sum
+    # differs from the serial scorer by <= 1 ulp
+    r9 = lambda res: sorted(  # noqa: E731
+        (qid, rank, doc, round(s, 9)) for qid, rank, doc, s in res
+    )
+    assert r9(fat_results) == r9(slow_results)
+    # exactly one result set per distinct query_id, not two
+    from collections import Counter
+
+    per_q = Counter(qid for qid, rank, _, _ in fat_results if rank == 1)
+    assert all(v == 1 for v in per_q.values()) and len(per_q) == B // 2
