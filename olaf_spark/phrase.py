@@ -1170,6 +1170,13 @@ def batch_phrase_topk(
     pair_keys: set[int] = set()
     qoffs: dict[int, tuple] = {}
     seen_qids: set[int] = set()
+    # dedup equal token sequences into one REPRESENTATIVE each: a phrase's
+    # (doc_id, phrase_tf) set is a pure function of its token sequence, so
+    # B queries over R distinct phrases fan out, decode and verify R times,
+    # and the <=R*k result rows replicate to every subscribed query_id via
+    # a broadcast join at the end (bulk batches routinely repeat phrases)
+    rep_of: dict[tuple[str, ...], int] = {}
+    mapping: list[tuple[int, int]] = []
     for qid, text in queries:
         if int(qid) in seen_qids:
             # two phrases under one id would interleave their subscriptions
@@ -1179,13 +1186,18 @@ def batch_phrase_topk(
         qterms = tokenize_py(text, cfg)  # ORDER MATTERS — not deduped
         if not qterms:
             continue
-        tids = [term_id_py(t) for t in qterms]
-        units = phrase_units(qterms, tids, heads)
-        qoffs[int(qid)] = tuple(off for _, off in units)
-        for (tag, key_id), off in units:
-            if tag == "p":
-                pair_keys.add(key_id)
-            subs.setdefault(key_id, []).append((int(qid), off))
+        rep = rep_of.get(tuple(qterms))
+        if rep is None:
+            rep = len(rep_of)
+            rep_of[tuple(qterms)] = rep
+            tids = [term_id_py(t) for t in qterms]
+            units = phrase_units(qterms, tids, heads)
+            qoffs[rep] = tuple(off for _, off in units)
+            for (tag, key_id), off in units:
+                if tag == "p":
+                    pair_keys.add(key_id)
+                subs.setdefault(key_id, []).append((rep, off))
+        mapping.append((rep, int(qid)))
     out_schema = "query_id long, doc_id long, phrase_tf long, rank long"
     if not subs:
         return spark.createDataFrame([], out_schema)
@@ -1233,13 +1245,17 @@ def batch_phrase_topk(
     )
     if min_tf > 1:  # quality gate rides the plan before the top-k window
         verified = verified.where(F.col("phrase_tf") >= int(min_tf))
+    # internal "query_id" is the REP id up to here; rank per rep, then the
+    # broadcast mapping join fans the result rows out to every real query_id
     w = Window.partitionBy("query_id").orderBy(
         F.col("phrase_tf").desc(), F.col("doc_id").asc()
     )
-    return (
+    ranked = (
         verified.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(
-            "query_id", "doc_id", "phrase_tf", F.col("rank").cast("long").alias("rank")
-        )
+        .withColumnRenamed("query_id", "rep")
+    )
+    mapping_df = spark.createDataFrame(mapping, "rep long, query_id long")
+    return ranked.join(F.broadcast(mapping_df), "rep").select(
+        "query_id", "doc_id", "phrase_tf", F.col("rank").cast("long").alias("rank")
     )

@@ -64,6 +64,19 @@ def test_batch_rejects_duplicate_query_ids(spark, index):
         batch_query_index(spark, index, [(1, "w2"), (1, "w3")], k=K)
 
 
+def test_equal_term_set_queries_share_one_rep(spark, index):
+    """BM25 depends only on the distinct-term SET: queries with equal sets
+    (any order, any duplication) dedup into one representative driver-side
+    and every query_id still gets its full identical result rows back
+    through the mapping join."""
+    got = collect_batch(
+        spark, index, [(0, "w1 w50"), (9, "w50 w1 w50"), (3, "w2 w17 w300")]
+    )
+    assert got[0] == got[9]
+    assert got[0] and got[0] == collect_batch(spark, index, [(0, "w1 w50")])[0]
+    assert got[3] == collect_batch(spark, index, [(3, "w2 w17 w300")])[3]
+
+
 def test_no_term_query_absent_from_output(spark, index):
     got = collect_batch(spark, index, QUERIES)
     assert 4 not in got  # no corpus term -> no rows for that query
@@ -87,8 +100,11 @@ def test_one_job_for_the_whole_batch(spark, index):
 
 def test_batch_plan_shape(spark, index):
     """Partition pruning reaches the scan; top-k is a WindowGroupLimit
-    (map-side partial top-k), not a full per-query sort; exactly one
-    MapInPandas decode step; no row-at-a-time Python."""
+    (map-side partial top-k), not a full per-query sort; exactly two
+    MapInPandas steps (decode proxies, then score+partial-top-k after the
+    doc_id exchange — the round-6 decide-with-small-rows shape); the
+    query fan-out is a broadcast join of the tiny rep->query_id mapping,
+    never a shuffle; no row-at-a-time Python."""
     df = batch_query_index(spark, index, QUERIES, k=K)
     jdf = df._jdf
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
@@ -96,8 +112,10 @@ def test_batch_plan_shape(spark, index):
     import re
 
     assert "WindowGroupLimit" in p, p
-    assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 2, p
     assert "BatchEvalPython" not in p
+    assert re.search(r"hashpartitioning\(doc_id#\d+L", p), p
+    assert "BroadcastHashJoin" in p, p
     assert re.search(r"PartitionFilters: \[tb#\d+ IN", p), p
     assert "PushedFilters: [In(term_id" in p, p
 
@@ -150,7 +168,7 @@ def test_group_batch_plan_shape(spark, index, tmp_path):
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     p = df._jdf.queryExecution().explainString(mode)
     assert "WindowGroupLimit" in p, p
-    assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 2, p
     assert "BatchEvalPython" not in p
     assert len(re.findall(r"PartitionFilters: \[tb#\d+ IN", p)) == 2, p
     assert p.count("PushedFilters: [In(term_id") == 2, p

@@ -215,6 +215,22 @@ def test_batch_phrase_rejects_duplicate_query_ids(spark, positional):
         batch_phrase_topk(spark, d, [(1, ""), (1, "w5")], k=5)
 
 
+def test_batch_phrase_duplicate_texts_replicate(spark, positional):
+    """Equal token sequences dedup into one representative (fan-out,
+    decode and verify run once) and the result rows replicate to every
+    subscribed query_id — identical per-qid answers to serving."""
+    from olaf_spark.phrase import batch_phrase_topk
+
+    _, d = positional
+    batch = [(0, "w2 w3"), (7, "w2 w3"), (1, "w5"), (2, "w2  w3")]
+    got = batch_phrase_topk(spark, d, batch, k=10).collect()
+    per_q: dict[int, list[tuple[int, int]]] = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        per_q.setdefault(r["query_id"], []).append((r["doc_id"], r["phrase_tf"]))
+    assert per_q[0] == per_q[7] == per_q[2] == phrase_topk(d, "w2 w3", k=10)
+    assert per_q[1] == phrase_topk(d, "w5", k=10)
+
+
 def test_positions_usable_never_raises(tmp_path):
     """Graceful-degradation contract: malformed metas (missing, truncated,
     wrong JSON shape) are all 'not usable', never an exception — a raise
