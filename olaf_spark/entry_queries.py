@@ -62,6 +62,22 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame, key: str) -> DataFrame:
+    """Rebalance a scan that arrives in fewer partitions than the session
+    has cores — the bench tables are single parquet files with 1M-row row
+    groups, so a scan of documents/events is ONE unsplittable task and
+    every per-row pipeline above it (tokenize, md5, date_trunc, cosine)
+    serializes onto one core (guide §2.5: unsplittable input -> repartition
+    right after the read). Hash-partitions on a real high-cardinality key:
+    keyless round-robin would pay the sort-before-repartition pass. NO-OP
+    whenever the scan already splits to >= the session parallelism, so a
+    cluster run over a many-file table never pays the extra exchange."""
+    want = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= want:
+        return df
+    return df.repartition(want, F.col(key))
+
+
 _ADHOC_CACHE: dict[str, object] = {}
 
 
@@ -240,12 +256,13 @@ SQL_BM25_TOPK_THRESHOLDED = _sql_bm25(FLAGSHIP_QUERY.split(), K_THRESH, min_scor
 def q_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lang rides the tokenize projection (selected BEFORE the explode), so
     # the only shuffle is the groupBy — no occurrence×docs join back on
-    # doc_id (which re-shuffled the full corpus of token rows).
-    from olaf_spark.tokenize import tokens_array
-
-    docs = _docs(spark, sf_dir)
-    toks = docs.select(
-        "lang", F.explode(tokens_array(F.col("text"), CFG)).alias("term")
+    # doc_id (which re-shuffled the full corpus of token rows). Explode the
+    # RAW split array and row-filter after (== exploding the lambda-filtered
+    # array, which ran 2x slower outside codegen — tokenize.tokens_df note).
+    docs = _spread(spark, _docs(spark, sf_dir).select("doc_id", "lang", "text"), "doc_id")
+    arr = F.split(F.lower(F.col("text")), CFG.token_split_re)
+    toks = docs.select("lang", F.explode(arr).alias("term")).where(
+        (F.length("term") >= 1) & (F.length("term") <= CFG.max_token_len)
     )
     counts = toks.groupBy("lang", "term").agg(F.count("*").cast("long").alias("n"))
     w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term").asc())
@@ -281,23 +298,128 @@ SELECT lang, term, n, rnk FROM (
 # --------------------------------------------------------------------------
 
 
+MATCH_TALLY_SCHEMA = (
+    "doc_id long, bucket long, match_count long, first_ref long, last_ref long"
+)
+
+
 def q_match_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One zero-shuffle mapInArrow pass (r6 rewrite, guide §2.4/§4.2).
+
+    The tally is DOC-LOCAL: every token of a doc arrives in that doc's
+    input row, and doc 0's reference positions are a handful of constants
+    — so the whole query is a scan plus one vectorized batch function.
+    The r5 shape tokenized the corpus TWICE (once for qpos, once for
+    hits — the qpos branch alone cost 1.0 s because the join forced both
+    generates), fanned hits out through a broadcast join and paid a
+    (doc, bucket) aggregation exchange; none of those are needed. Doc 0's
+    tokens resolve driver-side from one predicate-pushed row fetch
+    (tokenize_py — the contract twin of tokens_df), the per-batch numpy
+    core reproduces tokens_df(with_pos=True) position semantics exactly
+    (positions count KEPT tokens), and each (doc, bucket) group is
+    complete within its batch, so rows leave the task final — no
+    aggregation, no exchange, nothing shuffled at any scale.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from olaf_spark.tokenize import tokenize_py
+
     docs = _docs(spark, sf_dir)
-    pos = tokens_df(docs, with_pos=True)
-    qpos = pos.where(F.col("doc_id") == 0).select(
-        F.col("term"), F.col("pos").alias("q_pos")
+    qrows = docs.where(F.col("doc_id") == 0).select("text").collect()
+    if not qrows:
+        return spark.createDataFrame([], MATCH_TALLY_SCHEMA)
+    qpos_by_term: dict[str, list[int]] = {}
+    for p, t in enumerate(tokenize_py(qrows[0]["text"], CFG)):
+        qpos_by_term.setdefault(t, []).append(p)
+    q_terms = sorted(qpos_by_term)
+    q_counts = np.asarray([len(qpos_by_term[t]) for t in q_terms], dtype=np.int64)
+    q_offs = np.concatenate(([0], np.cumsum(q_counts)))[:-1]
+    q_flat = np.asarray(
+        [p for t in q_terms for p in qpos_by_term[t]], dtype=np.int64
     )
-    hits = pos.where(F.col("doc_id") != 0).join(F.broadcast(qpos), "term")
-    bucket = F.floor((F.col("pos") - F.col("q_pos")) / 4).cast("long")
-    return (
-        hits.groupBy(F.col("doc_id"), bucket.alias("bucket"))
-        .agg(
-            F.count("*").cast("long").alias("match_count"),
-            F.min("pos").cast("long").alias("first_ref"),
-            F.max("pos").cast("long").alias("last_ref"),
-        )
-        .where(F.col("match_count") >= 6)
-    )
+    q_arr = pa.array(q_terms, type=pa.string())
+    min_len, max_len = max(1, CFG.min_token_len), CFG.max_token_len
+    split_re = CFG.token_split_re
+
+    def tally(batches):
+        import pyarrow.compute as pc
+
+        for b in batches:
+            doc_ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            toks = pc.split_pattern_regex(pc.utf8_lower(b.column("text")), split_re)
+            flat = pc.list_flatten(toks)
+            parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+            ln = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+            keep = (ln >= min_len) & (ln <= max_len)
+            kept_parent = parent[keep]
+            n = int(kept_parent.size)
+            if n == 0:
+                continue
+            # position among KEPT tokens per doc — tokens_df(with_pos=True)
+            new = np.empty(n, dtype=bool)
+            new[0] = True
+            new[1:] = kept_parent[1:] != kept_parent[:-1]
+            starts = np.flatnonzero(new)
+            pos = np.arange(n, dtype=np.int64) - np.repeat(
+                starts, np.diff(np.append(starts, n))
+            )
+            codes = pc.fill_null(
+                pc.index_in(flat.filter(pa.array(keep)), value_set=q_arr), -1
+            ).to_numpy(zero_copy_only=False)
+            valid = codes >= 0
+            if not valid.any():
+                continue
+            occ_doc = kept_parent[valid]
+            occ_pos = pos[valid]
+            c = codes[valid].astype(np.int64)
+            # fan each occurrence out to every reference position of its
+            # term (CSR gather — the broadcast-join fan-out, in-core)
+            reps = q_counts[c]
+            tot = int(reps.sum())
+            ends = np.cumsum(reps)
+            fan_doc = np.repeat(occ_doc, reps)
+            fan_pos = np.repeat(occ_pos, reps)
+            gi = (
+                np.arange(tot, dtype=np.int64)
+                - np.repeat(ends - reps, reps)
+                + np.repeat(q_offs[c], reps)
+            )
+            qp = q_flat[gi]
+            bucket = (fan_pos - qp) // 4  # int floor division == floor(x/4.0)
+            # dense (doc, bucket) cells instead of sorting the fan-out:
+            # buckets span at most (doc_len + q_len)/4 values, so the grid
+            # is ~docs_in_batch * few-hundred cells. counts via bincount;
+            # fan_pos is NONDECREASING within a doc (occurrences arrive in
+            # position order, q_pos fans ascending per occurrence), so
+            # first/last refs are plain first/last-wins scatter stores —
+            # O(n) where the lexsort form paid O(n log n) over tens of
+            # millions of fan rows
+            bmin = int(bucket.min())
+            span = int(bucket.max()) - bmin + 1
+            key = fan_doc * span + (bucket - bmin)
+            ncells = int(doc_ids.size) * span
+            cnt = np.bincount(key, minlength=ncells)
+            first = np.empty(ncells, dtype=np.int64)
+            last = np.empty(ncells, dtype=np.int64)
+            first[key[::-1]] = fan_pos[::-1]  # earliest store wins
+            last[key] = fan_pos  # latest store wins
+            hot = np.flatnonzero(cnt >= 6)
+            if hot.size == 0:
+                continue
+            yield pa.record_batch(
+                {
+                    "doc_id": doc_ids[hot // span].astype(np.int64),
+                    "bucket": hot % span + bmin,
+                    "match_count": cnt[hot].astype(np.int64),
+                    "first_ref": first[hot],
+                    "last_ref": last[hot],
+                }
+            )
+
+    return _spread(
+        spark, docs.where(F.col("doc_id") != 0).select("doc_id", "text"), "doc_id"
+    ).mapInArrow(tally, MATCH_TALLY_SCHEMA)
 
 
 SQL_MATCH_TALLY = f"""
@@ -436,7 +558,7 @@ GROUP BY n_name
 
 
 def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _read(spark, sf_dir, "embeddings").select(
+    emb = _spread(spark, _read(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     qvec = emb.where(F.col("vec_id") == 0).select(F.col("emb").alias("q"))
@@ -498,7 +620,10 @@ FRAGMENT_LEN = 30
 
 
 def q_fragment_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = tokens_df(_docs(spark, sf_dir), with_pos=True)
+    toks = tokens_df(
+        _spread(spark, _docs(spark, sf_dir).select("doc_id", "text"), "doc_id"),
+        with_pos=True,
+    )
     return (
         toks.withColumn("window_id", F.floor(F.col("pos") / FRAGMENT_LEN).cast("long"))
         .groupBy("doc_id", "window_id")

@@ -27,6 +27,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "24g")
+        # scan-parallelism FLOOR (not a fixed split size): a table smaller
+        # than maxPartitionBytes otherwise scans as ONE task, serializing
+        # every zero-shuffle pipeline above it (match_tally's mapInArrow,
+        # lineitem_agg's pre-agg) onto one core. The floor is derived from
+        # the session's core count, so it stays correct on a cluster
+        # (whose big tables already split past it) — optimization guide §6.
+        .config("spark.sql.files.minPartitionNum", str(parallelism))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
