@@ -113,14 +113,19 @@ def head_term_ids(
     """Sorted int64 term_ids with document frequency >= min_df.
 
     One aggregation job; the result is small by construction (Zipf head)
-    and travels to executors as a broadcast, never a closure."""
-    from olaf_spark.tokenize import tokens_df
+    and travels to executors as a broadcast, never a closure.
+
+    df rides term_freqs_df: one (doc, term) row per distinct pair computed
+    doc-locally (no token shuffle — tokenize.term_freqs_df), then a plain
+    count per term. The countDistinct(doc_id) form did the same dedup
+    through a second full-width aggregate over the un-rebalanced scan."""
+    from olaf_spark.tokenize import term_freqs_df
 
     cfg = cfg or EngineConfig()
     rows = (
-        tokens_df(docs, text_col, id_col, cfg)
+        term_freqs_df(docs, text_col, id_col, cfg)
         .groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        .agg(F.count("*").alias("df"))
         .where(F.col("df") >= int(min_df))
         .select(term_id_col(F.col("term")).alias("term_id"))
         .collect()
@@ -227,7 +232,13 @@ def build_bigrams(
         min_df = -1 if min_df is None else int(min_df)  # inherited set
 
     if heads.size:
-        pairs = adjacent_pairs_df(docs, text_col, id_col, cfg)
+        from olaf_spark.session import rebalance_scan
+
+        # parallelize the pair emission feeding the bucket exchange (a
+        # single-file corpus scans as one task; no-op on many-split scans)
+        pairs = adjacent_pairs_df(
+            rebalance_scan(spark, docs, id_col), text_col, id_col, cfg
+        )
         heads_df = spark.createDataFrame([(int(h),) for h in heads], "head_id long")
         occ = (
             pairs.withColumn("t1_id", term_id_col(F.col("t1")))

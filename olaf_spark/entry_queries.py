@@ -72,10 +72,9 @@ def _spread(spark: SparkSession, df: DataFrame, key: str) -> DataFrame:
     keyless round-robin would pay the sort-before-repartition pass. NO-OP
     whenever the scan already splits to >= the session parallelism, so a
     cluster run over a many-file table never pays the extra exchange."""
-    want = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= want:
-        return df
-    return df.repartition(want, F.col(key))
+    from olaf_spark.session import rebalance_scan
+
+    return rebalance_scan(spark, df, key)
 
 
 _ADHOC_CACHE: dict[str, object] = {}

@@ -131,12 +131,26 @@ def token_occurrences_df(
     from olaf_spark.tokenize import tokens_array
 
     cfg = cfg or EngineConfig()
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), tokens_array(F.col(text_col), cfg).alias("toks")
+    # doc_len needs the KEPT-token count (one lambda-filtered array eval),
+    # but the explode runs over the RAW split with a row filter after —
+    # and both expressions are INLINED, never projected into a column: a
+    # generator over a column reference triggers InferFiltersFromGenerate,
+    # whose size()/isnotnull guard re-evaluated the whole filtered-split
+    # expression twice more per row below the build's exchange (the same
+    # 3x-tokenize trap tokenize.tokens_df documents)
+    arr = F.split(F.lower(F.col(text_col)), cfg.token_split_re)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tokens_array(F.col(text_col), cfg)).alias("doc_len"),
+            F.explode(arr).alias("term"),
+        )
+        .where(
+            (F.length("term") >= max(1, cfg.min_token_len))
+            & (F.length("term") <= cfg.max_token_len)
+        )
+        .select("doc_id", "doc_len", term_id_col(F.col("term")).alias("term_id"))
     )
-    return base.select(
-        "doc_id", F.size("toks").alias("doc_len"), F.explode("toks").alias("term")
-    ).select("doc_id", "doc_len", term_id_col(F.col("term")).alias("term_id"))
 
 
 def bucket_of_np(ids: np.ndarray, lo: int, width: int, n_buckets: int) -> np.ndarray:
@@ -654,7 +668,14 @@ def build_index(
     lo, hi = int(bounds["lo"]), int(bounds["hi"])
     bucket_width = max(1, (hi - lo) // n_buckets + 1)
 
-    pf = token_occurrences_df(docs, text_col, id_col, cfg)
+    # parallelize the tokenize feeding the bucket exchange: a single-file
+    # corpus scans as one task otherwise (session.rebalance_scan — no-op
+    # on a many-split cluster scan)
+    from olaf_spark.session import rebalance_scan
+
+    pf = token_occurrences_df(
+        rebalance_scan(spark, docs, id_col), text_col, id_col, cfg
+    )
     # bucket never becomes a column: it partitions as an EXPRESSION and is
     # recomputed in numpy inside the pack (bucket_of_np) — one fewer field
     # in every shuffled occurrence row and one fewer sort key
@@ -741,10 +762,18 @@ def build_index(
     #     runs can SPLIT across tasks — no task ever materializes a whole
     #     mega-term, only its contiguous bucket range (df arrives via the
     #     pre-agg, so scores don't depend on task boundaries).
-    # honor an explicit caller value verbatim (a small cluster may want fewer
-    # tasks); only apply the max(n_segments, 128) default when unset
+    # honor an explicit caller value verbatim; the default is SIZE-derived
+    # (guide §2.2: partitions sized by bytes, not a constant): one merge
+    # task per ~32 MB of packed segment bytes — floor at the session's
+    # parallelism so small corpora still use every core, cap at 4096. The
+    # old constant 128 meant 4-row tasks at bench scale and would
+    # undersize thousand-node merges.
     if n_merge_tasks is None:
-        n_merge_tasks = max(cfg.n_segments, 128)
+        seg_bytes = sum(int(r["bytes_out"] or 0) for r in seg_stats)
+        n_merge_tasks = max(
+            spark.sparkContext.defaultParallelism,
+            min(4096, seg_bytes // (32 << 20) + 1),
+        )
     postings = (
         segments.join(df_tbl, "term_id")
         .withColumn("tb", shard_from_id_col(F.col("term_id"), cfg.n_segments))

@@ -102,12 +102,20 @@ class PosixMetaFS:
                 raise
 
     def publish_bytes(self, path: str, data: bytes) -> None:
-        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
-        with open(tmp, "wb") as f:
-            f.write(data)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, path)
+        # dot-prefixed tmp (same naming as tmp_path) so a crash between
+        # open and replace strands only a hidden sibling that dataset
+        # readers ignore — and best-effort unlink on failure anyway
+        tmp = self.tmp_path(path)
+        try:
+            with open(tmp, "wb") as f:
+                f.write(data)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, path)
+        except BaseException:
+            with contextlib.suppress(OSError):
+                os.unlink(tmp)
+            raise
 
     def publish_json(self, path: str, obj) -> None:
         self.publish_bytes(path, json.dumps(obj).encode("utf-8"))

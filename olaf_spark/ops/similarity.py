@@ -338,7 +338,20 @@ def _ann_meta(index_dir: str) -> dict:
     import json
     import os
 
-    with open(os.path.join(index_dir, "ann_meta.json")) as f:
+    path = os.path.join(index_dir, "ann_meta.json")
+    if not os.path.exists(path):
+        # mirror _ivf_meta's clean refusal (a raw FileNotFoundError here
+        # is what an operator saw on `append --layout lsh` against an IVF
+        # dir); name the other layout's marker when present
+        hint = (
+            " — this dir holds an IVF index (ivf_meta.json); pass --layout ivf"
+            if os.path.exists(os.path.join(index_dir, "ivf_meta.json"))
+            else " — build_ann_index first"
+        )
+        raise ValueError(
+            f"{index_dir} has no committed LSH ANN index (ann_meta.json missing){hint}"
+        )
+    with open(path) as f:
         return json.load(f)
 
 
@@ -973,7 +986,14 @@ def ann_ivf_batch_topk(
     meta = _ivf_meta(index_dir)
     cents = np.array(meta["centroids"], dtype=np.float64)
     probe_rows = []
+    seen_qids: set[int] = set()
     for qid, qv in queries:
+        if int(qid) in seen_qids:
+            # same refusal as batch_query_index / batch_phrase_topk: a
+            # duplicated id would duplicate its probe rows, score every
+            # candidate twice and silently halve effective k
+            raise ValueError(f"duplicate query_id {int(qid)} in IVF batch")
+        seen_qids.add(int(qid))
         for c in ivf_probe_clusters(qv, cents, nprobe):
             probe_rows.append((int(qid), int(c), [float(x) for x in qv]))
     if not probe_rows:

@@ -201,7 +201,11 @@ def build_positions(
     lo, hi = int(bounds["lo"]), int(bounds["hi"])
     width = max(1, (hi - lo) // n_buckets + 1)
 
-    toks = tokens_df(docs, text_col, id_col, cfg, with_pos=True)
+    from olaf_spark.session import rebalance_scan
+
+    toks = tokens_df(
+        rebalance_scan(spark, docs, id_col), text_col, id_col, cfg, with_pos=True
+    )
     occ = toks.select(
         "doc_id", F.col("pos").cast("long").alias("pos"),
         term_id_col(F.col("term")).alias("term_id"),

@@ -42,6 +42,27 @@ def get_spark(
     return spark
 
 
+def rebalance_scan(spark: SparkSession, df, key: str):
+    """Rebalance a scan that arrives in fewer partitions than the session
+    has cores, hash-partitioned on a real high-cardinality key.
+
+    A single-file table with one 1M-row parquet row group scans as ONE
+    unsplittable task (minPartitionNum splits by byte range, but a row
+    group cannot be shared), so every tokenize/pack pipeline above it
+    serializes onto one core before its first wide exchange (guide §2.5:
+    unsplittable input -> repartition right after the read). NO-OP when
+    the scan already splits to >= the session parallelism — a cluster run
+    over a many-file table never pays the extra exchange. Hash on a key
+    rather than keyless round-robin: the latter pays the
+    sort-before-repartition pass (SPARK-23207)."""
+    from pyspark.sql import functions as F
+
+    want = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= want:
+        return df
+    return df.repartition(want, F.col(key))
+
+
 def prewarm_python_workers(spark: SparkSession) -> None:
     """Fork + import one reusable Python/Arrow worker per core.
 

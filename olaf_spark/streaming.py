@@ -196,21 +196,27 @@ def stream_vector_appends(
 
 
 def _dedup_query_rows(rows, text_key: str) -> list[tuple]:
-    """Collapse duplicate query_ids in a collected micro-batch
-    deterministically (max text wins — collect order is not
-    deterministic), sorted by query_id.
+    """Collapse EXACT duplicate (query_id, text) rows in a collected
+    micro-batch, sorted by query_id.
 
     At-least-once upstreams replay queries; the distributed batch scorers
     REFUSE duplicate query_ids (an ambiguous fold), so without this a
     replayed row inside a fat micro-batch would fail the epoch and kill
     the StreamingQuery, while the per-row path happily served it twice.
     Deduping in BOTH paths keeps them result-identical: one result set
-    per distinct query_id either way."""
+    per distinct query_id either way. Two DIFFERENT texts under one id
+    are not a replay — answering only one would silently drop a query, so
+    that raises here instead (it would raise in the batch scorer anyway,
+    but with a message blaming the wrong layer)."""
     best: dict = {}
     for row in rows:
         qid, t = row["query_id"], row[text_key]
-        if qid not in best or t > best[qid]:
-            best[qid] = t
+        if qid in best and best[qid] != t:
+            raise ValueError(
+                f"conflicting texts for query_id {qid!r} in one micro-batch: "
+                f"{best[qid]!r} vs {t!r} — replays must carry identical rows"
+            )
+        best[qid] = t
     return sorted(best.items())
 
 

@@ -287,7 +287,7 @@ def test_duplicate_query_ids_tolerated_both_paths(spark, tmp_path):
 
     B = 64
     # every query_id appears TWICE with the same text (a pure replay)
-    qrows = [(i % (B // 2), f"w2 w17 w{i % 20}") for i in range(B)]
+    qrows = [(i % (B // 2), f"w2 w17 w{(i % (B // 2)) % 20}") for i in range(B)]
     qdir = str(tmp_path / "queries")
     spark.createDataFrame(qrows, "query_id long, query_text string").coalesce(
         1
@@ -314,3 +314,22 @@ def test_duplicate_query_ids_tolerated_both_paths(spark, tmp_path):
 
     per_q = Counter(qid for qid, rank, _, _ in fat_results if rank == 1)
     assert all(v == 1 for v in per_q.values()) and len(per_q) == B // 2
+
+
+def test_conflicting_texts_for_one_query_id_refused():
+    """Two DIFFERENT texts under one query_id are not a replay — silently
+    answering only one (the r5 max-text pick) dropped a query; refused
+    loudly instead (ADVICE r5)."""
+    import pytest
+
+    from olaf_spark.streaming import _dedup_query_rows
+
+    rows = [
+        {"query_id": 1, "query_text": "w2 w3"},
+        {"query_id": 1, "query_text": "w2 w3"},  # exact replay: fine
+        {"query_id": 2, "query_text": "w5"},
+    ]
+    assert _dedup_query_rows(rows, "query_text") == [(1, "w2 w3"), (2, "w5")]
+    rows.append({"query_id": 2, "query_text": "w7"})
+    with pytest.raises(ValueError, match="conflicting texts"):
+        _dedup_query_rows(rows, "query_text")
