@@ -557,6 +557,11 @@ GROUP BY n_name
 
 
 def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # examined r6: a mapInArrow/numpy rewrite (bit-exact dimension-order
+    # fold) measured ~0.3 s SLOWER at bench scale — 20k x 64-dim is too
+    # small for the extra driver fetch + Python stage to pay for removing
+    # the per-row HOF fold. Kept the all-JVM crossJoin(broadcast q) shape;
+    # _spread parallelizes the single-row-group scan (0.73 -> 0.45 s).
     emb = _spread(spark, _read(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )

@@ -131,20 +131,26 @@ def token_occurrences_df(
     from olaf_spark.tokenize import tokens_array
 
     cfg = cfg or EngineConfig()
-    # doc_len needs the KEPT-token count (one lambda-filtered array eval),
-    # but the explode runs over the RAW split with a row filter after —
-    # and both expressions are INLINED, never projected into a column: a
-    # generator over a column reference triggers InferFiltersFromGenerate,
-    # whose size()/isnotnull guard re-evaluated the whole filtered-split
-    # expression twice more per row below the build's exchange (the same
-    # 3x-tokenize trap tokenize.tokens_df documents)
+    # Shape notes (r6, each variant measured):
+    #  * doc_len (the KEPT-token count, one lambda-filtered eval) and the
+    #    RAW split array are projected BELOW the generate, so both are
+    #    attributes per doc row — computing doc_len in the same select as
+    #    the explode let CollapseProject hoist the whole filtered-split
+    #    expression ABOVE the generate, i.e. once per TOKEN (10x slower);
+    #  * the explode runs over the raw array attribute with a row filter
+    #    after (the lambda-filtered generate runs outside codegen — see
+    #    tokenize.tokens_df); InferFiltersFromGenerate then pushes a
+    #    size/isnotnull guard down to the scan, which re-evaluates the
+    #    plain split twice per DOC — cheaper than the r5 shape, whose
+    #    guard re-evaluated the split+lambda-filter twice per doc.
     arr = F.split(F.lower(F.col(text_col)), cfg.token_split_re)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_array(F.col(text_col), cfg)).alias("doc_len"),
+        arr.alias("raw_toks"),
+    )
     return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.size(tokens_array(F.col(text_col), cfg)).alias("doc_len"),
-            F.explode(arr).alias("term"),
-        )
+        base.select("doc_id", "doc_len", F.explode("raw_toks").alias("term"))
         .where(
             (F.length("term") >= max(1, cfg.min_token_len))
             & (F.length("term") <= cfg.max_token_len)
