@@ -195,11 +195,36 @@ class AdhocIndex:
         self.n_docs = docs.count()
         total = self.postings_flat.agg(F.sum("tf")).collect()[0][0] or 0
         self.avgdl = total / self.n_docs if self.n_docs else 0.0
+        # driver-side df memo (r6): each topk() otherwise pays one Spark
+        # job just to collect its query terms' dfs from the CACHED
+        # term_stats frame. dfs are immutable for this index's lifetime
+        # (same lifetime as the cached frames), so repeated/overlapping
+        # queries resolve idf with zero jobs. Bounded: only queried terms
+        # enter (never the vocabulary); absent terms memoize as None.
+        self._df_memo: dict[str, int | None] = {}
+
+    def _term_idfs(self, qterms: list[str]) -> list[tuple[str, float]]:
+        missing = [t for t in qterms if t not in self._df_memo]
+        if missing:
+            rows = (
+                self.term_stats.where(F.col("term").isin(missing))
+                .select("term", "df")
+                .collect()
+            )
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_memo[t] = found.get(t)
+        return [
+            (t, idf(self.n_docs, self._df_memo[t]))
+            for t in qterms
+            if self._df_memo[t] is not None
+        ]
 
     def topk(self, query_text: str, k: int | None = None, min_score: float | None = None) -> DataFrame:
         k = self.cfg.max_results if k is None else k
         min_score = self.cfg.min_score if min_score is None else min_score
-        qidf = query_term_idfs(query_text, self.term_stats, self.n_docs, self.cfg)
+        qterms = sorted(set(tokenize_py(query_text, self.cfg)))
+        qidf = self._term_idfs(qterms) if qterms else []
         return topk(bm25_scores(self.postings_flat, qidf, self.avgdl, self.cfg), k, min_score)
 
     def unpersist(self):
