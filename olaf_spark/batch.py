@@ -219,16 +219,26 @@ def _make_score_topk(bstate, k: int, min_score: float):
         for r0 in range(0, n_reps, chunk):
             r1 = min(r0 + chunk, n_reps)
             acc = np.zeros((r1 - r0, n_docs_p), dtype=np.float64)
-            touched: set[int] = set()
+            # contributor doc-index lists per rep: candidate extraction
+            # then costs O(rep's fan-out), not O(distinct docs) — a dense
+            # row scan per rep was the stage's bottleneck at large B
+            # (every contribution is > 0, so the union of contributor
+            # indices IS exactly the row's nonzero set)
+            contrib_idx: dict[int, list] = {}
             for ord_, idxs, cs in slices:  # ascending term_ord
                 for r in ord_reps[ord_]:
                     ri = int(r)
                     if r0 <= ri < r1:
                         acc[ri - r0, idxs] += cs
-                        touched.add(ri)
-            for ri in sorted(touched):
+                        contrib_idx.setdefault(ri, []).append(idxs)
+            for ri in sorted(contrib_idx):
                 row = acc[ri - r0]
-                sel = np.flatnonzero(row > 0.0)
+                lists = contrib_idx[ri]
+                sel = (
+                    np.unique(np.concatenate(lists))
+                    if len(lists) > 1
+                    else lists[0]
+                )
                 if min_score > 0.0:
                     sel = sel[row[sel] >= min_score]
                 if sel.size == 0:

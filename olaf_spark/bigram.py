@@ -450,7 +450,11 @@ def compact_bigrams(
         rows = r if rows is None else rows.unionByName(r)
     if rows is not None:
         if n_merge_tasks is None:
-            n_merge_tasks = max(cfg.n_segments, 128)
+            from olaf_spark.indexer import dir_bytes, merge_task_count
+
+            n_merge_tasks = merge_task_count(
+                spark, dir_bytes(*(os.path.join(d, "bigrams") for d in part_dirs))
+            )
         folded = (
             rows.select(
                 "term_id", "doc_ids_bin", "pos_counts_bin", "pos_bin", "pos_offs", "tb"

@@ -783,7 +783,12 @@ def compact_index(
     )
     compact_fn = _make_compact_fn(group.n_docs, group.avgdl, cfg, tombstones)
     if n_merge_tasks is None:
-        n_merge_tasks = max(cfg.n_segments, 128)
+        from olaf_spark.indexer import dir_bytes, merge_task_count
+
+        n_merge_tasks = merge_task_count(
+            spark,
+            dir_bytes(*(os.path.join(p.index_dir, "postings") for p in group.parts)),
+        )
 
     done = _completed_compact_groups(out_dir)
     for g in range(n_groups):

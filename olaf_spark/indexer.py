@@ -110,6 +110,31 @@ def shard_from_id_col(term_id_col_, n_shards: int):
     return F.pmod(term_id_col_, F.lit(n_shards)).cast("int")
 
 
+def merge_task_count(spark: SparkSession, byte_size: int) -> int:
+    """Size-derived repartition width for packed-row merges (guide §2.2):
+    one task per ~32 MB of packed input bytes, floored at the session's
+    parallelism (small inputs still use every core), capped at 4096. The
+    round-5 constant 128 meant 4-row tasks at bench scale and would
+    undersize thousand-node merges."""
+    return max(
+        spark.sparkContext.defaultParallelism, min(4096, byte_size // (32 << 20) + 1)
+    )
+
+
+def dir_bytes(*dirs: str) -> int:
+    """Total on-disk bytes under the given directories (driver-side walk —
+    metadata only, no data read; missing dirs count 0)."""
+    total = 0
+    for d in dirs:
+        for root, _, files in os.walk(d):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return total
+
+
 def token_occurrences_df(
     docs: DataFrame,
     text_col: str = "text",
@@ -776,10 +801,7 @@ def build_index(
     # undersize thousand-node merges.
     if n_merge_tasks is None:
         seg_bytes = sum(int(r["bytes_out"] or 0) for r in seg_stats)
-        n_merge_tasks = max(
-            spark.sparkContext.defaultParallelism,
-            min(4096, seg_bytes // (32 << 20) + 1),
-        )
+        n_merge_tasks = merge_task_count(spark, seg_bytes)
     postings = (
         segments.join(df_tbl, "term_id")
         .withColumn("tb", shard_from_id_col(F.col("term_id"), cfg.n_segments))

@@ -392,7 +392,11 @@ def compact_positions(
         r = spark.read.parquet(os.path.join(d, "positions"))
         rows = r if rows is None else rows.unionByName(r)
     if n_merge_tasks is None:
-        n_merge_tasks = max(cfg.n_segments, 128)
+        from olaf_spark.indexer import dir_bytes, merge_task_count
+
+        n_merge_tasks = merge_task_count(
+            spark, dir_bytes(*(os.path.join(d, "positions") for d in part_dirs))
+        )
     folded = (
         rows.select(
             "term_id", "doc_ids_bin", "pos_counts_bin", "pos_bin", "pos_offs", "tb"

@@ -325,6 +325,10 @@ def test_batch_phrase_one_job_and_plan_shape(spark, positional):
     tracker = spark.sparkContext.statusTracker()
 
     def n_jobs_for(queries):
+        # warm pass first: AQE submits broadcast stages asynchronously and
+        # one-time lazy work can attribute a job to whichever invocation
+        # runs first — count a steady-state invocation only
+        batch_phrase_topk(spark, d, queries, k=10).collect()
         before = len(tracker.getJobIdsForGroup(None) or [])
         batch_phrase_topk(spark, d, queries, k=10).collect()
         return len(tracker.getJobIdsForGroup(None) or []) - before
