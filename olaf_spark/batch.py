@@ -54,7 +54,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from olaf_spark.codec import decode_ids_blocked, varbyte_decode
-from olaf_spark.indexer import Index, term_id_py, tombstone_keep_mask
+from olaf_spark.indexer import Index, in_expr_int, term_id_py, tombstone_keep_mask
 from olaf_spark.scorer import idf as idf_fn
 from olaf_spark.tokenize import tokenize_py
 
@@ -320,7 +320,7 @@ def batch_query_index(
 
     # ---- one scan: hive pruning on tb, row-group pruning on term_id --------
     postings = index.postings(spark).where(
-        F.col("tb").isin(tbs) & F.col("term_id").isin(qids_terms)
+        in_expr_int("tb", tbs) & in_expr_int("term_id", qids_terms)
     )
     ts_arr = index.tombstones_arr()  # cached sorted array rides the broadcast
     bstate = spark.sparkContext.broadcast((plan.tid_ord, plan.ord_reps, ts_arr, None))
@@ -382,7 +382,7 @@ def batch_query_index_group(
     scan = None
     for p in group.parts:
         part_scan = p.postings(spark).where(
-            F.col("tb").isin(tbs) & F.col("term_id").isin(qids_terms)
+            in_expr_int("tb", tbs) & in_expr_int("term_id", qids_terms)
         )
         scan = part_scan if scan is None else scan.unionByName(part_scan)
     return _run_batch(

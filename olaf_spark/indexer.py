@@ -110,6 +110,18 @@ def shard_from_id_col(term_id_col_, n_shards: int):
     return F.pmod(term_id_col_, F.lit(n_shards)).cast("int")
 
 
+def in_expr_int(col: str, values) -> "F.Column":
+    """`col IN (...)` over integer values, built as ONE parsed expression.
+
+    `.isin(list)` creates a py4j-bridged literal per value — measured
+    1.2 s of pure driver time to CONSTRUCT at 3,000 term_ids (plus slower
+    analysis); the parsed string form is one JVM call and yields the same
+    In predicate (and the same parquet pushdown). Integer-only by
+    construction, so the string is injection-safe."""
+    vals = ",".join(str(int(v)) for v in values)
+    return F.expr(f"{col} in ({vals})") if vals else F.lit(False)
+
+
 def merge_task_count(spark: SparkSession, byte_size: int) -> int:
     """Size-derived repartition width for packed-row merges (guide §2.2):
     one task per ~32 MB of packed input bytes, floored at the session's

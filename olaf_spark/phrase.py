@@ -59,6 +59,7 @@ from olaf_spark.indexer import (
     _iter_term_chunks,
     bucket_expr,
     bucket_of_np,
+    in_expr_int,
     shard_from_id_col,
     sorted_tombstone_arr,
     term_id_col,
@@ -1221,7 +1222,7 @@ def batch_phrase_topk(
         for pi, d in enumerate(part_dirs):
             r = (
                 spark.read.parquet(os.path.join(d, "positions"))
-                .where(F.col("tb").isin(tbs) & F.col("term_id").isin(single_ids))
+                .where(in_expr_int("tb", tbs) & in_expr_int("term_id", single_ids))
                 .withColumn("part", F.lit(pi))
             )
             scan = r if scan is None else scan.unionByName(r)
@@ -1237,7 +1238,7 @@ def batch_phrase_topk(
                 continue
             r = (
                 spark.read.parquet(os.path.join(d, "bigrams"))
-                .where(F.col("tb").isin(ptbs) & F.col("term_id").isin(pair_ids))
+                .where(in_expr_int("tb", ptbs) & in_expr_int("term_id", pair_ids))
                 .withColumn("part", F.lit(pi))
             )
             scan = r if scan is None else scan.unionByName(r)
