@@ -261,12 +261,15 @@ def build_bigrams(
 
         b_expr = bucket_expr(F.col("doc_id"), lo, width, n_buckets)
         n_tasks = max(n_buckets, spark.sparkContext.defaultParallelism)
+        from olaf_spark.indexer import cluster_for_write
+
         packed = (
             occ.repartition(n_tasks, b_expr, F.col("term_id"))
             .sortWithinPartitions("term_id", "doc_id", "pos")
             .mapInPandas(_make_pack_positions(lo, width, n_buckets), POSITIONS_SCHEMA)
             .withColumn("tb", shard_from_id_col(F.col("term_id"), cfg.n_segments))
         )
+        packed = cluster_for_write(packed, "tb", n_tasks, cfg.n_segments)
         packed.write.mode("overwrite").partitionBy("tb").parquet(
             os.path.join(out_dir, "bigrams")
         )

@@ -219,6 +219,9 @@ def build_positions(
         .mapInPandas(_make_pack_positions(lo, width, n_buckets), POSITIONS_SCHEMA)
         .withColumn("tb", shard_from_id_col(F.col("term_id"), cfg.n_segments))
     )
+    from olaf_spark.indexer import cluster_for_write
+
+    packed = cluster_for_write(packed, "tb", n_tasks, cfg.n_segments)
     pos_dir = os.path.join(out_dir, "positions")
     packed.write.mode("overwrite").partitionBy("tb").parquet(pos_dir)
     cfg.save(out_dir)
