@@ -133,7 +133,9 @@ def merge_task_count(spark: SparkSession, byte_size: int) -> int:
     )
 
 
-def cluster_for_write(df: DataFrame, part_col: str, n_tasks: int, n_parts: int) -> DataFrame:
+def cluster_for_write(
+    df: DataFrame, part_col: str, n_tasks: int, n_parts: int, salt_col: str = "term_id"
+) -> DataFrame:
     """Cluster packed rows on their hive-partition column before a
     `partitionBy(part_col)` write (guide §6 small-files).
 
@@ -149,7 +151,7 @@ def cluster_for_write(df: DataFrame, part_col: str, n_tasks: int, n_parts: int) 
     partition value still spreads over multiple tasks when
     n_tasks > n_parts (tasks stay size-derived at cluster scale)."""
     k = max(1, n_tasks // max(1, n_parts))
-    return df.repartition(n_tasks, F.col(part_col), F.pmod(F.col("term_id"), F.lit(k)))
+    return df.repartition(n_tasks, F.col(part_col), F.pmod(F.col(salt_col), F.lit(k)))
 
 
 def dir_bytes(*dirs: str) -> int:

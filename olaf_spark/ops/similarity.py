@@ -20,6 +20,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _cluster_vec_write(v: DataFrame, part_col: str) -> DataFrame:
+    """Cluster a vector frame on its hive-partition column before a
+    `partitionBy(part_col)` write (indexer.cluster_for_write's twin, guide
+    §6 small-files): without it every scan task writes one file per
+    sig/cluster value it holds — n_tasks x n_values files on rebuilds and
+    compactions (and a 1-task scan of a single-row-group embeddings file
+    writes ALL values serially). One narrow exchange keyed on the
+    partition value lands each sig/cluster on one task: exactly one file
+    per non-empty value, written with the session's full parallelism."""
+    n_tasks = v.sparkSession.sparkContext.defaultParallelism
+    return v.repartition(n_tasks, F.col(part_col))
+
+
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
@@ -323,7 +336,7 @@ def build_ann_index(
     # over partially-rewritten vectors — and a RE-build also voids old
     # deltas/tombstones (stale-assignment hazard, see _retract_index_dir)
     _retract_index_dir(out_dir)
-    v.write.mode("overwrite").partitionBy("sig").parquet(
+    _cluster_vec_write(v, "sig").write.mode("overwrite").partitionBy("sig").parquet(
         os.path.join(out_dir, "vectors")
     )
     # the meta is the commit marker — atomic publish (metafs contract)
@@ -405,9 +418,9 @@ def _append_vec_delta(
                 break
             n += 1
     part_col = v.columns[-1]
-    v.write.mode("overwrite").partitionBy(part_col).parquet(
-        os.path.join(delta_dir, "vectors")
-    )
+    _cluster_vec_write(v, part_col).write.mode("overwrite").partitionBy(
+        part_col
+    ).parquet(os.path.join(delta_dir, "vectors"))
     mfs.publish_json(os.path.join(delta_dir, marker), meta)
     return delta_dir
 
@@ -618,9 +631,9 @@ def _fold_vec_index(
     # strays from a crashed earlier attempt (markers are absent — the
     # refusal above — but partial deltas/tombstones may not be)
     _retract_index_dir(out_dir)
-    scan.write.mode("overwrite").partitionBy(part_col).parquet(
-        os.path.join(out_dir, "vectors")
-    )
+    _cluster_vec_write(scan, part_col).write.mode("overwrite").partitionBy(
+        part_col
+    ).parquet(os.path.join(out_dir, "vectors"))
     # the compacted index's commit marker — atomic publish
     mfs.publish_json(os.path.join(out_dir, marker), meta)
     return out_dir
@@ -890,9 +903,9 @@ def build_ivf_index(
     # EITHER layout), delta, or tombstone may survive a re-train — old
     # deltas were cell-assigned with the old centroids
     _retract_index_dir(out_dir)
-    v.write.mode("overwrite").partitionBy("cluster").parquet(
-        os.path.join(out_dir, "vectors")
-    )
+    _cluster_vec_write(v, "cluster").write.mode("overwrite").partitionBy(
+        "cluster"
+    ).parquet(os.path.join(out_dir, "vectors"))
     mfs.publish_json(
         os.path.join(out_dir, "ivf_meta.json"),
         {
